@@ -1,0 +1,251 @@
+"""Conformer blocks (macaron FFN + rel-pos MHSA + conv module) in flax.
+
+Architecture parity with `models/tts/fastspeech2/blocks/conformer.py`:
+half-step macaron feed-forwards, Transformer-XL relative attention with
+learned u/v biases and the relative-shift trick (fed the absolute sinusoid
+table, as the reference does), GLU + depthwise-conv module with BatchNorm,
+final LayerNorm, padding zeroed at block end.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from viet_tts_tpu.nn.utils import sinusoid_position_table
+
+MASK_NEG = -1.0e9
+
+
+def swish(x: jnp.ndarray) -> jnp.ndarray:
+    return x * nn.sigmoid(x)
+
+
+class FeedForwardModule(nn.Module):
+    """Pre-norm Linear(4x) + Swish + Linear, no residual (added by caller)."""
+
+    d_model: int
+    expansion: int = 4
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = nn.LayerNorm()(x)
+        x = nn.Dense(self.d_model * self.expansion)(x)
+        x = swish(x)
+        x = nn.Dropout(self.dropout)(x, deterministic=not train)
+        x = nn.Dense(self.d_model)(x)
+        return nn.Dropout(self.dropout)(x, deterministic=not train)
+
+
+class RelativeMultiHeadAttention(nn.Module):
+    """Transformer-XL attention with content (u) and position (v) biases."""
+
+    d_model: int
+    num_heads: int
+    dropout: float = 0.1
+
+    @staticmethod
+    def _relative_shift(pos_score: jnp.ndarray) -> jnp.ndarray:
+        """The XL shift: prepend a zero column, fold, drop the first row."""
+        b, h, t1, t2 = pos_score.shape
+        padded = jnp.concatenate(
+            [jnp.zeros((b, h, t1, 1), pos_score.dtype), pos_score], axis=-1
+        )
+        padded = padded.reshape(b, h, t2 + 1, t1)
+        return padded[:, :, 1:].reshape(b, h, t1, t2)
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        pos_emb: jnp.ndarray,
+        pad_mask: Optional[jnp.ndarray] = None,
+        train: bool = False,
+    ) -> jnp.ndarray:
+        B, T, _ = x.shape
+        H, D = self.num_heads, self.d_model // self.num_heads
+
+        q = nn.Dense(self.d_model, name="query_proj")(x).reshape(B, T, H, D)
+        k = nn.Dense(self.d_model, name="key_proj")(x).reshape(B, T, H, D)
+        v = nn.Dense(self.d_model, name="value_proj")(x).reshape(B, T, H, D)
+        p = nn.Dense(self.d_model, use_bias=False, name="pos_proj")(
+            pos_emb
+        ).reshape(B, -1, H, D)
+
+        u_bias = self.param(
+            "u_bias", nn.initializers.xavier_uniform(), (H, D)
+        )
+        v_bias = self.param(
+            "v_bias", nn.initializers.xavier_uniform(), (H, D)
+        )
+
+        content = jnp.einsum("bqhd,bkhd->bhqk", q + u_bias, k)
+        pos = jnp.einsum("bqhd,bkhd->bhqk", q + v_bias, p)
+        pos = self._relative_shift(pos)
+        # reference divides by sqrt(d_model), not sqrt(d_head)
+        score = (content + pos) / jnp.sqrt(jnp.asarray(self.d_model, x.dtype))
+
+        if pad_mask is not None:
+            score = jnp.where(pad_mask[:, None, None, :], MASK_NEG, score)
+        attn = nn.softmax(score, axis=-1)
+        attn = nn.Dropout(self.dropout)(attn, deterministic=not train)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, T, self.d_model)
+        return nn.Dense(self.d_model, name="out_proj")(ctx)
+
+
+class ConformerConvModule(nn.Module):
+    """LN -> pointwise(2x) -> GLU -> depthwise -> BN -> Swish -> pointwise."""
+
+    d_model: int
+    kernel_size: int = 31
+    expansion: int = 2
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = nn.LayerNorm()(x)
+        x = nn.Conv(self.d_model * self.expansion, (1,), name="pw_conv1")(x)
+        a, b = jnp.split(x, 2, axis=-1)
+        x = a * nn.sigmoid(b)  # GLU
+        x = nn.Conv(
+            self.d_model,
+            (self.kernel_size,),
+            padding="SAME",
+            feature_group_count=self.d_model,
+            use_bias=False,
+            name="dw_conv",
+        )(x)
+        x = nn.BatchNorm(use_running_average=not train, name="bn")(x)
+        x = swish(x)
+        x = nn.Conv(self.d_model, (1,), name="pw_conv2")(x)
+        return nn.Dropout(self.dropout)(x, deterministic=not train)
+
+
+class ConformerBlock(nn.Module):
+    d_model: int
+    num_heads: int = 8
+    ffn_expansion: int = 4
+    conv_expansion: int = 2
+    kernel_size: int = 31
+    half_step_residual: bool = True
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        pos_emb: jnp.ndarray,
+        pad_mask: Optional[jnp.ndarray] = None,
+        train: bool = False,
+    ) -> jnp.ndarray:
+        ff_factor = 0.5 if self.half_step_residual else 1.0
+
+        x = x + ff_factor * FeedForwardModule(
+            self.d_model, self.ffn_expansion, self.dropout, name="ff1"
+        )(x, train=train)
+
+        attn_in = nn.LayerNorm(name="mhsa_ln")(x)
+        attn_out = RelativeMultiHeadAttention(
+            self.d_model, self.num_heads, self.dropout, name="mhsa"
+        )(attn_in, pos_emb, pad_mask, train=train)
+        x = x + nn.Dropout(self.dropout)(attn_out, deterministic=not train)
+
+        x = x + ConformerConvModule(
+            self.d_model,
+            self.kernel_size,
+            self.conv_expansion,
+            self.dropout,
+            name="conv",
+        )(x, train=train)
+
+        x = x + ff_factor * FeedForwardModule(
+            self.d_model, self.ffn_expansion, self.dropout, name="ff2"
+        )(x, train=train)
+
+        x = nn.LayerNorm(name="final_ln")(x)
+        if pad_mask is not None:
+            x = x * (~pad_mask)[..., None]
+        return x
+
+
+class ConformerEncoder(nn.Module):
+    """Phoneme embedding + absolute positions added + conformer stack.
+
+    Returns (hidden, raw_embedding) (`blocks/conformer.py:14-91`).
+    """
+
+    n_symbols: int
+    n_layers: int
+    d_model: int
+    max_seq_len: int
+    num_heads: int = 8
+    ffn_expansion: int = 4
+    conv_expansion: int = 2
+    kernel_size: int = 31
+    half_step_residual: bool = True
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(
+        self, src_seq: jnp.ndarray, pad_mask: jnp.ndarray, train: bool = False
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        emb = nn.Embed(self.n_symbols + 1, self.d_model, name="src_word_emb")(src_seq)
+        emb = emb * (src_seq != 0)[..., None]
+        T = src_seq.shape[1]
+        table = jnp.asarray(
+            sinusoid_position_table(max(self.max_seq_len + 1, T), self.d_model)
+        )[:T]
+        x = emb + table[None]
+        pos_emb = jnp.broadcast_to(table[None], (x.shape[0], T, self.d_model))
+        for i in range(self.n_layers):
+            x = ConformerBlock(
+                self.d_model,
+                self.num_heads,
+                self.ffn_expansion,
+                self.conv_expansion,
+                self.kernel_size,
+                self.half_step_residual,
+                self.dropout,
+                name=f"layer_{i}",
+            )(x, pos_emb, pad_mask, train=train)
+        return x, emb
+
+
+class ConformerDecoder(nn.Module):
+    """Absolute positions added + conformer stack over frame features."""
+
+    n_layers: int
+    d_model: int
+    max_seq_len: int
+    num_heads: int = 8
+    ffn_expansion: int = 4
+    conv_expansion: int = 2
+    kernel_size: int = 31
+    half_step_residual: bool = True
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, pad_mask: jnp.ndarray, train: bool = False
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        T = x.shape[1]
+        table = jnp.asarray(
+            sinusoid_position_table(max(self.max_seq_len + 1, T), self.d_model)
+        )[:T]
+        x = x + table[None]
+        pos_emb = jnp.broadcast_to(table[None], (x.shape[0], T, self.d_model))
+        for i in range(self.n_layers):
+            x = ConformerBlock(
+                self.d_model,
+                self.num_heads,
+                self.ffn_expansion,
+                self.conv_expansion,
+                self.kernel_size,
+                self.half_step_residual,
+                self.dropout,
+                name=f"layer_{i}",
+            )(x, pos_emb, pad_mask, train=train)
+        return x, pad_mask
