@@ -1,0 +1,193 @@
+"""Benchmark: batched FastSpeech2 mel inference on TPU vs torch-CPU anchor.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+The reference publishes no numbers (BASELINE.md), so vs_baseline anchors
+against a same-architecture PyTorch-CPU forward measured here.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SR = 22050
+HOP = 256
+B = 16  # batched inference
+T_TEXT = 64
+T_MEL = 512
+
+
+def bench_tpu():
+    import jax
+    import jax.numpy as jnp
+
+    from viet_tts_tpu.config import build_config, derive_task_config
+    from viet_tts_tpu.models.fastspeech2 import FastSpeech2
+    from viet_tts_tpu.text import NUM_SYMBOLS
+
+    conf = derive_task_config(build_config(os.path.join(REPO, "config")), "fastspeech2")
+    stats = {
+        "pitch": {"min": -3.0, "max": 8.0, "mean": 0.0, "std": 1.0},
+        "energy": {"min": -3.0, "max": 8.0, "mean": 0.0, "std": 1.0},
+    }
+    model = FastSpeech2(
+        n_symbols=NUM_SYMBOLS,
+        n_channels=80,
+        hparams=conf["models"]["fastspeech2"],
+        stats=stats,
+        n_speakers=2,
+    )
+
+    rng = np.random.RandomState(0)
+    key = jax.random.PRNGKey(0)
+    text = jnp.asarray(rng.randint(1, NUM_SYMBOLS, (B, T_TEXT)).astype(np.int32))
+    text_lens = jnp.asarray(np.full(B, T_TEXT, np.int32))
+    feats = jnp.asarray(rng.randn(B, T_MEL, 80).astype(np.float32))
+    sids = jnp.asarray(np.zeros(B, np.int32))
+    aids = jnp.asarray(np.zeros(B, np.int32))
+
+    from viet_tts_tpu.train.state import init_on_cpu
+
+    variables = init_on_cpu(
+        model.init,
+        {"params": key, "dropout": key, "reparam": key},
+        sids, text, text_lens, T_MEL, feats=feats, aids=aids,
+        method=model.inference,
+    )
+
+    @jax.jit
+    def synth(variables, sids, text, text_lens, feats, aids):
+        return model.apply(
+            variables, sids, text, text_lens, T_MEL, feats=feats, aids=aids,
+            method=model.inference,
+        )
+
+    # warmup/compile
+    mel, mel_lens, _ = synth(variables, sids, text, text_lens, feats, aids)
+    mel.block_until_ready()
+
+    n_iters = 10
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        mel, mel_lens, _ = synth(variables, sids, text, text_lens, feats, aids)
+    mel.block_until_ready()
+    dt = (time.perf_counter() - t0) / n_iters
+
+    frames = float(np.asarray(mel_lens).sum())
+    if frames == 0:  # random weights may predict ~zero durations; use budget
+        frames = B * T_MEL
+    audio_seconds = frames * HOP / SR
+    return {
+        "sec_per_batch": dt,
+        "mel_frames_per_sec": frames / dt,
+        "rtf": dt / max(audio_seconds, 1e-9),
+        "platform": jax.devices()[0].platform,
+        "device": str(jax.devices()[0]),
+    }
+
+
+def bench_torch_cpu():
+    """Same-architecture (6L conformer-384 enc/dec + postnet) torch-CPU
+    forward over the same workload; the >50x anchor."""
+    import torch
+    import torch.nn as nn
+
+    torch.set_num_threads(os.cpu_count() or 8)
+    d, heads, layers = 384, 8, 6
+
+    class ConformerBlock(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.ff1 = nn.Sequential(
+                nn.LayerNorm(d), nn.Linear(d, 4 * d), nn.SiLU(), nn.Linear(4 * d, d)
+            )
+            self.ln = nn.LayerNorm(d)
+            self.attn = nn.MultiheadAttention(d, heads, batch_first=True)
+            self.conv = nn.Sequential(
+                nn.LayerNorm(d),
+                nn.Linear(d, 2 * d), nn.GLU(dim=-1),
+            )
+            self.dw = nn.Conv1d(d, d, 31, padding=15, groups=d)
+            self.pw = nn.Linear(d, d)
+            self.ff2 = nn.Sequential(
+                nn.LayerNorm(d), nn.Linear(d, 4 * d), nn.SiLU(), nn.Linear(4 * d, d)
+            )
+            self.final = nn.LayerNorm(d)
+
+        def forward(self, x):
+            x = x + 0.5 * self.ff1(x)
+            h = self.ln(x)
+            x = x + self.attn(h, h, h, need_weights=False)[0]
+            h = self.conv(x)
+            h = self.dw(h.transpose(1, 2)).transpose(1, 2)
+            x = x + self.pw(torch.nn.functional.silu(h))
+            x = x + 0.5 * self.ff2(x)
+            return self.final(x)
+
+    class TorchFS2(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.emb = nn.Embedding(132, d)
+            self.enc = nn.ModuleList(ConformerBlock() for _ in range(layers))
+            self.dur = nn.Sequential(
+                nn.Conv1d(d, 256, 3, padding=1), nn.ReLU(), nn.Conv1d(256, 1, 1)
+            )
+            self.dec = nn.ModuleList(ConformerBlock() for _ in range(layers))
+            self.out = nn.Linear(d, 80)
+            self.postnet = nn.Sequential(
+                *[nn.Conv1d(80 if i == 0 else 512, 512 if i < 4 else 80, 5, padding=2)
+                  for i in range(5)]
+            )
+
+        def forward(self, text, t_mel):
+            x = self.emb(text)
+            for blk in self.enc:
+                x = blk(x)
+            _ = self.dur(x.transpose(1, 2))
+            # expand to frame rate (uniform) and decode
+            reps = t_mel // x.shape[1]
+            x = x.repeat_interleave(reps, dim=1)[:, :t_mel]
+            for blk in self.dec:
+                x = blk(x)
+            mel = self.out(x)
+            return mel + self.postnet(mel.transpose(1, 2)).transpose(1, 2)
+
+    model = TorchFS2().eval()
+    text = torch.randint(1, 131, (B, T_TEXT))
+    with torch.no_grad():
+        model(text, T_MEL)  # warmup
+        n_iters = 3
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            model(text, T_MEL)
+        dt = (time.perf_counter() - t0) / n_iters
+    frames = B * T_MEL
+    return {"sec_per_batch": dt, "mel_frames_per_sec": frames / dt}
+
+
+def main():
+    tpu = bench_tpu()
+    cpu = bench_torch_cpu()
+    speedup = cpu["sec_per_batch"] / tpu["sec_per_batch"]
+    result = {
+        "metric": "fs2_batched_mel_inference",
+        "value": round(tpu["mel_frames_per_sec"], 1),
+        "unit": "mel_frames/sec",
+        "vs_baseline": round(speedup, 2),
+        "rtf": round(tpu["rtf"], 6),
+        "sec_per_batch_tpu": round(tpu["sec_per_batch"], 5),
+        "sec_per_batch_torch_cpu": round(cpu["sec_per_batch"], 5),
+        "platform": tpu["platform"],
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,87 @@
+"""End-to-end training smoke test: synthetic wavs -> filelist -> feature
+cache -> bucketed batches -> jitted FS2 train steps -> checkpoint/resume."""
+
+import argparse
+import os
+
+import numpy as np
+import pytest
+
+from viet_tts_tpu.config import build_config
+
+from tests.synth_data import build_dataset, tiny_model_config
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("fs2_smoke"))
+
+
+def make_args(workdir, data_dir, egs_dir, max_iter=4):
+    return argparse.Namespace(
+        task="fastspeech2",
+        input_folder=egs_dir,
+        data_folder=data_dir,
+        output_folder=os.path.join(workdir, "out"),
+        checkpoint=None,
+        acoustic_checkpoint=None,
+        vocoder_checkpoint=None,
+        version="fastspeech2",
+        max_iter=max_iter,
+        is_finetune=False,
+    )
+
+
+def test_fs2_end_to_end_train(workdir):
+    from viet_tts_tpu.train.trainer import FastSpeech2Trainer
+
+    data_dir, egs_dir = build_dataset(workdir, n_utts=6)
+    conf = tiny_model_config(build_config(os.path.join(REPO, "config")))
+    conf["train"]["batch_size"] = 4
+    args = make_args(workdir, data_dir, egs_dir, max_iter=3)
+
+    trainer = FastSpeech2Trainer(args, conf)
+    assert len(trainer.train_set) > 0
+    trainer.run()
+    assert trainer.iter >= 3
+
+    # artifacts: checkpoint + sidecars + feature cache
+    out = args.output_folder
+    ckpts = [f for f in os.listdir(out) if f.endswith(".msgpack")]
+    assert len(ckpts) >= 1
+    for sidecar in ("config.yaml", "speakers.json", "accents.json", "stats.json"):
+        assert os.path.exists(os.path.join(out, sidecar)), sidecar
+    spk_dir = os.path.join(data_dir, "hn_spk")
+    for sub in ("feats", "pitch", "energy", "alignment"):
+        assert os.listdir(os.path.join(spk_dir, sub))
+
+    # resume: a fresh trainer picks up epoch/iter from the checkpoint scan
+    args2 = make_args(workdir, data_dir, egs_dir, max_iter=5)
+    trainer2 = FastSpeech2Trainer(args2, conf)
+    assert trainer2.iter >= 3
+    trainer2.run()
+    assert trainer2.iter >= 5
+
+
+def test_bucket_batcher_static_shapes(workdir):
+    from viet_tts_tpu.data.batching import BucketBatcher
+    from viet_tts_tpu.data.dataset import AcousticDataset
+    from viet_tts_tpu.data.filelist import read_filelist
+    from viet_tts_tpu.config import derive_task_config
+
+    data_dir, egs_dir = build_dataset(workdir, n_utts=6)
+    conf = derive_task_config(
+        build_config(os.path.join(REPO, "config")), "fastspeech2"
+    )
+    train = read_filelist(os.path.join(egs_dir, "train.txt"))
+    ds = AcousticDataset(
+        train, conf["audio"], {"hn_spk": 0, "hcm_spk": 1}, {"hn": 0, "hcm": 1}
+    )
+    shapes = set()
+    for batch in BucketBatcher(ds, 4, seed=0):
+        shapes.add((batch["text"].shape, batch["feats"].shape))
+        assert batch["text"].shape[0] == 4  # always full batch
+        assert batch["feats"].shape[1] in (128, 256, 384, 512, 640, 768, 896, 1008)
+    assert len(shapes) <= 4  # few compile shapes

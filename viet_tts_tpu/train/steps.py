@@ -1,0 +1,97 @@
+"""Jitted train/valid step builders.
+
+Each trainer's whole step — forward, loss, grads, optimizer update, metric
+dict — is one compiled function of (state, batch, rng). Step-dependent
+schedules ride on ``state.step`` as traced scalars; all host↔device traffic
+per step is one batch in, one metrics dict out.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from viet_tts_tpu.models.fastspeech2.loss import total_loss
+from viet_tts_tpu.train.state import TrainState
+
+
+def make_fs2_train_step(model, criterion) -> Callable:
+    """FastSpeech2/AdaSpeech acoustic train step
+    (role of `fastspeech2_trainer.py:125-148`)."""
+
+    def train_step(
+        state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array
+    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        step_rng = jax.random.fold_in(rng, state.step)
+        drop_rng, rep_rng = jax.random.split(step_rng)
+
+        def loss_fn(params):
+            (y_pred, y_extra), mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                text=batch["text"],
+                text_lengths=batch["text_lengths"],
+                feats=batch["feats"],
+                feats_lengths=batch["feats_lengths"],
+                duration=batch["duration"],
+                pitch=batch["pitch"],
+                energy=batch["energy"],
+                sids=batch["sids"],
+                aids=batch["aids"],
+                step=state.step,
+                train=True,
+                rngs={"dropout": drop_rng, "reparam": rep_rng},
+                mutable=["batch_stats"],
+            )
+            targets = (
+                batch["feats"],
+                batch["word_ids"],
+                batch["word_ids"].shape[1],
+                *y_extra,
+            )
+            losses = criterion(y_pred, targets, step=state.step)
+            return total_loss(losses), (losses, mut)
+
+        (tot, (losses, mut)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        state = state.apply_gradients(
+            grads=grads, batch_stats=mut["batch_stats"]
+        )
+        metrics = dict(losses)
+        metrics["total"] = tot
+        return state, metrics
+
+    return train_step
+
+
+def make_fs2_valid_step(model, criterion) -> Callable:
+    """Held-out feat/feat_postnet losses (`fastspeech2_trainer.py:150-162`)."""
+
+    def valid_step(state: TrainState, batch) -> Dict[str, jnp.ndarray]:
+        (y_pred, y_extra), _ = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            text=batch["text"],
+            text_lengths=batch["text_lengths"],
+            feats=batch["feats"],
+            feats_lengths=batch["feats_lengths"],
+            duration=batch["duration"],
+            pitch=batch["pitch"],
+            energy=batch["energy"],
+            sids=batch["sids"],
+            aids=batch["aids"],
+            step=state.step,
+            train=False,
+            mutable=["batch_stats"],
+        )
+        targets = (
+            batch["feats"],
+            batch["word_ids"],
+            batch["word_ids"].shape[1],
+            *y_extra,
+        )
+        losses = criterion(y_pred, targets, step=None)
+        return {k: v for k, v in losses.items()}
+
+    return valid_step

