@@ -1,0 +1,199 @@
+"""HiFi-GAN V1 generator (flax, feature-last, weight-normalised convs).
+
+Architecture parity with `models/gan_tts/hifigan/generator.py` +
+`layers.py`: input conv -> 4x [LeakyReLU(0.1) -> ConvTranspose up x
+(8,8,2,2) -> mean of 3 multi-kernel/multi-dilation residual blocks] ->
+LeakyReLU -> conv -> tanh; optional global conditioning; total upsample
+x256. Transposed convs use torch-exact geometry (input dilation +
+asymmetric padding) so lengths match the reference everywhere.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+_INIT = nn.initializers.normal(0.01)  # official HiFi-GAN init
+
+
+class WNConv1d(nn.Module):
+    """Weight-normalised 1-D conv: w = g * v/||v|| per output channel."""
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    dilation: int = 1
+    padding: Any = "SAME"
+    use_bias: bool = True
+    feature_group_count: int = 1
+    use_weight_norm: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        conv = nn.Conv(
+            self.features,
+            (self.kernel_size,),
+            strides=(self.stride,),
+            kernel_dilation=(self.dilation,),
+            padding=self.padding,
+            use_bias=self.use_bias,
+            feature_group_count=self.feature_group_count,
+            kernel_init=_INIT,
+            name="conv",
+        )
+        if self.use_weight_norm:
+            conv = nn.WeightNorm(conv, name="wn")
+        return conv(x)
+
+
+class WNConvTranspose1d(nn.Module):
+    """Weight-normalised transposed conv with torch ConvTranspose1d geometry.
+
+    out_len = (in-1)*stride - 2*padding + kernel + output_padding, realised
+    as an input-dilated conv with asymmetric edge padding — one fused XLA op.
+    """
+
+    features: int
+    kernel_size: int
+    stride: int
+    padding: int
+    output_padding: int = 0
+    use_weight_norm: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k, s, p, op = self.kernel_size, self.stride, self.padding, self.output_padding
+        in_ch = x.shape[-1]
+        v = self.param("kernel_v", _INIT, (k, in_ch, self.features))
+        if self.use_weight_norm:
+            g = self.param(
+                "kernel_g",
+                lambda rng, shape: jnp.linalg.norm(
+                    v.reshape(-1, self.features), axis=0
+                ),
+                (self.features,),
+            )
+            norm = jnp.sqrt((v**2).sum(axis=(0, 1), keepdims=True) + 1e-12)
+            kernel = v / norm * g[None, None, :]
+        else:
+            kernel = v
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        y = jax.lax.conv_general_dilated(
+            x,
+            kernel,
+            window_strides=(1,),
+            padding=[(k - 1 - p, k - 1 - p + op)],
+            lhs_dilation=(s,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        )
+        return y + b
+
+
+class ResidualBlock(nn.Module):
+    """Multi-dilation residual pairs (`hifigan/layers.py:16-98`)."""
+
+    channels: int
+    kernel_size: int = 3
+    dilations: Sequence[int] = (1, 3, 5)
+    use_additional_convs: bool = True
+    lrelu_slope: float = 0.1
+    use_weight_norm: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        for i, d in enumerate(self.dilations):
+            xt = nn.leaky_relu(x, self.lrelu_slope)
+            xt = WNConv1d(
+                self.channels,
+                self.kernel_size,
+                dilation=d,
+                use_weight_norm=self.use_weight_norm,
+                name=f"conv1_{i}",
+            )(xt)
+            if self.use_additional_convs:
+                xt = nn.leaky_relu(xt, self.lrelu_slope)
+                xt = WNConv1d(
+                    self.channels,
+                    self.kernel_size,
+                    use_weight_norm=self.use_weight_norm,
+                    name=f"conv2_{i}",
+                )(xt)
+            x = x + xt
+        return x
+
+
+class HiFiGANGenerator(nn.Module):
+    """mel (B, T, in_channels) -> waveform (B, T*256, out_channels)."""
+
+    in_channels: int = 80
+    out_channels: int = 1
+    channels: int = 512
+    global_channels: int = -1
+    kernel_size: int = 7
+    upsample_scales: Sequence[int] = (8, 8, 2, 2)
+    upsample_kernel_sizes: Sequence[int] = (16, 16, 4, 4)
+    resblock_kernel_sizes: Sequence[int] = (3, 7, 11)
+    resblock_dilations: Sequence[Sequence[int]] = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
+    use_additional_convs: bool = True
+    lrelu_slope: float = 0.1
+    use_weight_norm: bool = True
+
+    @nn.compact
+    def __call__(
+        self, c: jnp.ndarray, g: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
+        wn = self.use_weight_norm
+        x = WNConv1d(
+            self.channels, self.kernel_size, use_weight_norm=wn, name="input_conv"
+        )(c)
+        if g is not None and self.global_channels > 0:
+            # g: (B, global_channels)
+            x = x + WNConv1d(
+                self.channels, 1, use_weight_norm=wn, name="global_conv"
+            )(g[:, None, :])
+
+        n_blocks = len(self.resblock_kernel_sizes)
+        for i, (scale, up_k) in enumerate(
+            zip(self.upsample_scales, self.upsample_kernel_sizes)
+        ):
+            ch = self.channels // (2 ** (i + 1))
+            x = nn.leaky_relu(x, self.lrelu_slope)
+            x = WNConvTranspose1d(
+                ch,
+                up_k,
+                stride=scale,
+                padding=scale // 2 + scale % 2,
+                output_padding=scale % 2,
+                use_weight_norm=wn,
+                name=f"upsample_{i}",
+            )(x)
+            acc = 0.0
+            for j, (rk, rd) in enumerate(
+                zip(self.resblock_kernel_sizes, self.resblock_dilations)
+            ):
+                acc = acc + ResidualBlock(
+                    ch,
+                    rk,
+                    tuple(rd),
+                    self.use_additional_convs,
+                    self.lrelu_slope,
+                    wn,
+                    name=f"block_{i}_{j}",
+                )(x)
+            x = acc / n_blocks
+
+        x = nn.leaky_relu(x, 0.01)  # reference uses default slope here
+        x = WNConv1d(
+            self.out_channels, self.kernel_size, use_weight_norm=wn, name="output_conv"
+        )(x)
+        return jnp.tanh(x)
+
+    @property
+    def upsample_factor(self) -> int:
+        f = self.out_channels
+        for s in self.upsample_scales:
+            f *= s
+        return f

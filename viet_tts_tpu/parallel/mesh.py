@@ -83,7 +83,7 @@ def pad_batch_to_devices(batch: Any, n_devices: int) -> Any:
         if x.ndim == 0 or x.shape[0] % n_devices == 0:
             return x
         need = n_devices - (x.shape[0] % n_devices)
-        reps = x[:need]
+        reps = np.concatenate([x] * (need // x.shape[0] + 1), axis=0)[:need]
         return np.concatenate([x, reps], axis=0)
 
     return jax.tree_util.tree_map(pad, batch)
