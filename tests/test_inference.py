@@ -1,0 +1,86 @@
+"""Two-stage inference API test: train tiny FS2 + HiFi-GAN, then text->wav."""
+
+import argparse
+import os
+
+import numpy as np
+import pytest
+
+from viet_tts_tpu.config import build_config
+
+from tests.synth_data import build_dataset, tiny_model_config
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _args(task, egs, data, out, max_iter=2):
+    return argparse.Namespace(
+        task=task,
+        input_folder=egs,
+        data_folder=data,
+        output_folder=out,
+        checkpoint=None,
+        acoustic_checkpoint=None,
+        vocoder_checkpoint=None,
+        version="fastspeech2",
+        max_iter=max_iter,
+        is_finetune=False,
+    )
+
+
+@pytest.fixture(scope="module")
+def trained_ckpts(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("two_stage"))
+    data_dir, egs_dir = build_dataset(root, n_utts=4)
+
+    conf = tiny_model_config(build_config(os.path.join(REPO, "config")))
+    conf["train"]["batch_size"] = 2
+    conf["models"]["hifigan"]["segment_size"] = 16
+    conf["models"]["hifigan"]["upsample_initial_channel"] = 16
+    conf["models"]["hifigan"]["discriminator_params"] = {
+        "scales": 1,
+        "periods": [2],
+        "scale_discriminator_params": {"channels": 8, "max_downsample_channels": 16},
+        "period_discriminator_params": {"channels": 4, "max_downsample_channels": 8},
+    }
+
+    from viet_tts_tpu.train.gan import HiFiGANTrainer
+    from viet_tts_tpu.train.trainer import FastSpeech2Trainer
+
+    ac_out = os.path.join(root, "ac")
+    FastSpeech2Trainer(
+        _args("fastspeech2", egs_dir, data_dir, ac_out), conf
+    ).run()
+    voc_out = os.path.join(root, "voc")
+    HiFiGANTrainer(_args("hifigan", egs_dir, data_dir, voc_out), conf).run()
+    return ac_out, voc_out
+
+
+def test_two_stage_tts(trained_ckpts):
+    from viet_tts_tpu.infer.api import TwoStageTTS, save_to_local
+
+    ac_out, voc_out = trained_ckpts
+    tts = TwoStageTTS(ac_out, voc_out, model_type="FASTSPEECH2", max_mel_frames=256)
+    waves = tts(
+        ["xin chào các bạn", "hôm nay trời đẹp quá ."], speaker="hn_spk", accent="hn"
+    )
+    assert len(waves) == 2
+    for w in waves:
+        assert w.ndim == 1 and np.isfinite(w).all()
+        assert (np.abs(w) <= 1.0).all()
+    # mel lengths differ between sentences -> different audio lengths
+    assert len(waves[0]) % 256 == 0
+
+    path = save_to_local(waves[0], os.path.join(ac_out, "sample.wav"), tts.sr)
+    assert os.path.exists(path)
+
+
+def test_two_stage_controls(trained_ckpts):
+    from viet_tts_tpu.infer.api import TwoStageTTS
+
+    ac_out, voc_out = trained_ckpts
+    tts = TwoStageTTS(ac_out, voc_out, max_mel_frames=256)
+    slow = tts(["xin chào các bạn"], d_control=1.5)
+    fast = tts(["xin chào các bạn"], d_control=0.5)
+    # duration control stretches synthesized length
+    assert len(slow[0]) >= len(fast[0])

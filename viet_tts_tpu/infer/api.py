@@ -1,0 +1,403 @@
+"""Batched inference API: one-stage and two-stage synthesis.
+
+The reference's `test.py:6-7` imports `src.api.modules.tts`
+(OneStageTTS/TwoStageTTS) and `modules.upload.api` (save_to_local), which
+are missing from its snapshot; this module provides the real thing:
+checkpoint + sidecar loading, text -> phoneme ids, bucketed jit-compiled
+synthesis, and waveform export.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import yaml
+
+from viet_tts_tpu.data.batching import bucket_for, DEFAULT_TEXT_BUCKETS
+from viet_tts_tpu.dsp.audio import write_wav
+from viet_tts_tpu.text import NUM_SYMBOLS, VietnameseG2P, basic_clean, symbols_to_ids
+from viet_tts_tpu.train.checkpoint import apply_weights, scan_checkpoint
+
+
+def load_sidecars(ckpt_dir: str) -> Dict:
+    out = {}
+    cfg = os.path.join(ckpt_dir, "config.yaml")
+    if os.path.exists(cfg):
+        with open(cfg, "r", encoding="utf8") as f:
+            out["conf"] = yaml.safe_load(f)
+    for name in ("speakers", "accents", "stats"):
+        p = os.path.join(ckpt_dir, f"{name}.json")
+        if os.path.exists(p):
+            with open(p, "r", encoding="utf8") as f:
+                out[name] = json.load(f)
+    return out
+
+
+def load_params(path: str) -> Dict:
+    """Raw pytree from a saved checkpoint payload."""
+    from flax import serialization
+
+    with open(path, "rb") as f:
+        return serialization.msgpack_restore(f.read())
+
+
+def resolve_checkpoint(path: str, prefix: str = "generator") -> str:
+    if os.path.isdir(path):
+        found = scan_checkpoint(path, prefix)
+        if found is None:
+            raise FileNotFoundError(f"no {prefix}* checkpoint under {path}")
+        return found
+    return path
+
+
+DEFAULT_STATS = {
+    "pitch": {"min": -3.0, "max": 8.0, "mean": 0.0, "std": 1.0},
+    "energy": {"min": -3.0, "max": 8.0, "mean": 0.0, "std": 1.0},
+}
+
+
+class _TTSBase:
+    """Shared text front-end + batching."""
+
+    def __init__(self, sr: int = 22050, hop: int = 256):
+        self.g2p = VietnameseG2P()
+        self.sr = sr
+        self.hop = hop
+
+    def encode_texts(
+        self, texts: Sequence[str]
+    ) -> Tuple[np.ndarray, np.ndarray, int]:
+        """texts -> (ids (B, T), lengths (B,), T bucket)."""
+        seqs = []
+        for t in texts:
+            phones = self.g2p(basic_clean(t), get_boundary=False)
+            seqs.append(symbols_to_ids(phones))
+        max_len = max(len(s) for s in seqs)
+        T = bucket_for(max_len, DEFAULT_TEXT_BUCKETS)
+        ids = np.zeros((len(seqs), T), np.int32)
+        lens = np.zeros(len(seqs), np.int32)
+        for i, s in enumerate(seqs):
+            ids[i, : len(s)] = s[:T]
+            lens[i] = min(len(s), T)
+        return ids, lens, T
+
+
+def _build_acoustic(conf, model_key, stats, n_speakers, n_accents):
+    if model_key == "matcha":
+        from viet_tts_tpu.models.matcha import MatchaTTS
+
+        return MatchaTTS(
+            n_symbols=NUM_SYMBOLS,
+            n_channels=conf["audio"]["mel"]["channels"],
+            hparams=conf["models"]["matcha"],
+            stats=stats,
+            n_speakers=n_speakers,
+            n_accents=n_accents,
+        )
+    if model_key == "adaspeech":
+        from viet_tts_tpu.models.adaspeech import AdaSpeech
+
+        cls = AdaSpeech
+    else:
+        from viet_tts_tpu.models.fastspeech2 import FastSpeech2
+
+        cls = FastSpeech2
+    return cls(
+        n_symbols=NUM_SYMBOLS,
+        n_channels=conf["audio"]["mel"]["channels"],
+        hparams=conf["models"][model_key],
+        stats=stats,
+        n_speakers=n_speakers,
+        n_accents=n_accents,
+    )
+
+
+class TwoStageTTS(_TTSBase):
+    """Acoustic model -> mel -> HiFi-GAN vocoder.
+
+    model_type in {"FASTSPEECH2", "ADASPEECH", "MATCHA"} selects the
+    acoustic family (reconstructed `test.py:36` behaviour).
+    """
+
+    def __init__(
+        self,
+        acoustic_path: str,
+        vocoder_path: str,
+        model_type: str = "FASTSPEECH2",
+        max_mel_frames: int = 1008,
+    ):
+        import jax
+
+        self.model_type = model_type.lower()
+        acoustic_ckpt = resolve_checkpoint(acoustic_path)
+        vocoder_ckpt = resolve_checkpoint(vocoder_path)
+        side = load_sidecars(os.path.dirname(acoustic_ckpt))
+        conf = side.get("conf")
+        if conf is None:
+            from viet_tts_tpu.config import build_config
+
+            conf = build_config("config/")
+        self.conf = conf
+        self.stats = side.get("stats") or DEFAULT_STATS
+        self.speakers = side.get("speakers") or {}
+        self.accents = side.get("accents") or {}
+        super().__init__(
+            sr=conf["audio"]["signal"]["sampling_rate"],
+            hop=conf["audio"]["stft"]["hop_length"],
+        )
+        self.max_mel_frames = max_mel_frames
+
+        n_spk = max(len(self.speakers), 1)
+        n_acc = max(len(self.accents), 2)
+        self.acoustic = _build_acoustic(
+            conf, self.model_type, self.stats, n_spk, n_acc
+        )
+        from viet_tts_tpu.models.hifigan import HiFiGANGenerator
+
+        hifi = conf["models"].get("hifigan", {})
+        self.vocoder = HiFiGANGenerator(
+            in_channels=conf["audio"]["mel"]["channels"],
+            channels=hifi.get("upsample_initial_channel", 512),
+            upsample_scales=tuple(hifi.get("upsample_rates", (8, 8, 2, 2))),
+            upsample_kernel_sizes=tuple(
+                hifi.get("upsample_kernel_sizes", (16, 16, 4, 4))
+            ),
+            resblock_kernel_sizes=tuple(
+                hifi.get("resblock_kernel_sizes", (3, 7, 11))
+            ),
+            resblock_dilations=tuple(
+                map(tuple, hifi.get("resblock_dilation_sizes", ((1, 3, 5),) * 3))
+            ),
+        )
+
+        self._load_weights(acoustic_ckpt, vocoder_ckpt)
+        # variables passed as jit args (NOT closure constants — closing over
+        # the parameter pytree would bake it into the HLO as literals)
+        self._synth = jax.jit(
+            self._synth_impl,
+            static_argnames=("d_control", "p_control", "e_control"),
+        )
+
+    # -- weights --------------------------------------------------------
+    def _load_weights(self, acoustic_ckpt: str, vocoder_ckpt: str):
+        import jax
+        import jax.numpy as jnp
+
+        from viet_tts_tpu.train.state import init_on_cpu
+
+        key = jax.random.PRNGKey(0)
+        ids = jnp.zeros((1, 32), jnp.int32)
+        lens = jnp.ones(1, jnp.int32) * 32
+        feats = jnp.zeros((1, 64, self.conf["audio"]["mel"]["channels"]))
+        sids = jnp.zeros(1, jnp.int32)
+        aids = jnp.zeros(1, jnp.int32)
+        ac_vars = init_on_cpu(
+            self.acoustic.init,
+            {"params": key, "dropout": key, "reparam": key},
+            sids,
+            ids,
+            lens,
+            64,
+            feats=feats,
+            aids=aids,
+            method=self.acoustic.inference,
+        )
+        voc_vars = init_on_cpu(self.vocoder.init, key, feats)
+
+        ac_payload = load_params(acoustic_ckpt)
+        voc_payload = load_params(vocoder_ckpt)
+        ac_params, skipped_a = apply_weights(
+            jax.device_get(ac_vars["params"]), ac_payload.get("params", {})
+        )
+        voc_params, skipped_v = apply_weights(
+            jax.device_get(voc_vars["params"]), voc_payload.get("params", {})
+        )
+        self.acoustic_vars = {
+            "params": ac_params,
+            "batch_stats": ac_payload.get(
+                "batch_stats", jax.device_get(ac_vars.get("batch_stats", {}))
+            ),
+        }
+        self.vocoder_vars = {"params": voc_params}
+        self.skipped = {"acoustic": skipped_a, "vocoder": skipped_v}
+
+    # -- synthesis ------------------------------------------------------
+    def _synth_impl(
+        self, acoustic_vars, vocoder_vars, ids, lens, sids, aids, feats,
+        d_control=1.0, p_control=1.0, e_control=1.0,
+    ):
+        mel, mel_lens, _ = self.acoustic.apply(
+            acoustic_vars,
+            sids,
+            ids,
+            lens,
+            self.max_mel_frames,
+            feats=feats,
+            aids=aids,
+            d_control=d_control,
+            p_control=p_control,
+            e_control=e_control,
+            method=self.acoustic.inference,
+        )
+        wav = self.vocoder.apply(vocoder_vars, mel)
+        return mel, mel_lens, wav[..., 0]
+
+    def __call__(
+        self,
+        texts: Sequence[str],
+        speaker: str | int = 0,
+        accent: str | int = 0,
+        reference_mel: Optional[np.ndarray] = None,
+        d_control: float = 1.0,
+        p_control: float = 1.0,
+        e_control: float = 1.0,
+    ) -> List[np.ndarray]:
+        """Synthesize a batch of sentences -> list of float32 waveforms."""
+        import jax.numpy as jnp
+
+        ids, lens, _ = self.encode_texts(texts)
+        B = len(texts)
+        sid = self.speakers.get(speaker, speaker if isinstance(speaker, int) else 0)
+        aid = self.accents.get(accent, accent if isinstance(accent, int) else 0)
+        sids = jnp.full((B,), int(sid), jnp.int32)
+        aids = jnp.full((B,), int(aid), jnp.int32)
+        if reference_mel is None:
+            feats = jnp.zeros((B, 64, self.conf["audio"]["mel"]["channels"]))
+        else:
+            feats = jnp.asarray(
+                np.broadcast_to(
+                    reference_mel[None], (B, *reference_mel.shape)
+                ).copy()
+            )
+        _, mel_lens, wav = self._synth(
+            self.acoustic_vars, self.vocoder_vars,
+            jnp.asarray(ids), jnp.asarray(lens), sids, aids, feats,
+            d_control=d_control, p_control=p_control, e_control=e_control,
+        )
+        wav = np.asarray(wav)
+        mel_lens = np.asarray(mel_lens)
+        return [wav[i, : int(mel_lens[i]) * self.hop] for i in range(B)]
+
+
+class OneStageTTS(_TTSBase):
+    """Fused text->waveform models (JETS / VITS2 / Text2Wav)."""
+
+    def __init__(self, checkpoint_path: str, model_type: str = "JETS",
+                 max_mel_frames: int = 1008):
+        import jax
+
+        self.model_type = model_type.lower()
+        ckpt_path = resolve_checkpoint(checkpoint_path)
+        side = load_sidecars(os.path.dirname(ckpt_path))
+        conf = side.get("conf")
+        if conf is None:
+            from viet_tts_tpu.config import build_config
+
+            conf = build_config("config/")
+        self.conf = conf
+        self.stats = side.get("stats") or DEFAULT_STATS
+        self.speakers = side.get("speakers") or {}
+        self.accents = side.get("accents") or {}
+        super().__init__(
+            sr=conf["audio"]["signal"]["sampling_rate"],
+            hop=conf["audio"]["stft"]["hop_length"],
+        )
+        self.max_mel_frames = max_mel_frames
+        n_spk = max(len(self.speakers), 1)
+
+        if self.model_type == "jets":
+            from viet_tts_tpu.models.jets import JETS
+
+            self.model = JETS(
+                n_symbols=NUM_SYMBOLS,
+                n_channels=conf["audio"]["mel"]["channels"],
+                hparams=conf["models"]["jets"]["generator_params"],
+                n_speakers=n_spk,
+            )
+        elif self.model_type == "vits2":
+            from viet_tts_tpu.models.vits2 import VITS2
+
+            self.model = VITS2(
+                n_symbols=NUM_SYMBOLS,
+                hparams=conf["models"]["vits2"],
+                n_speakers=n_spk,
+            )
+        else:  # joint text2wav
+            from viet_tts_tpu.models.text2wav import Text2Wav
+
+            self.model = Text2Wav(
+                n_symbols=NUM_SYMBOLS,
+                n_channels=conf["audio"]["mel"]["channels"],
+                conf=conf,
+                stats=self.stats,
+                n_speakers=n_spk,
+                n_accents=max(len(self.accents), 2),
+                version=conf.get("version") or "fastspeech2",
+            )
+
+        import jax.numpy as jnp
+
+        from viet_tts_tpu.train.state import init_on_cpu
+
+        key = jax.random.PRNGKey(0)
+        ids = jnp.zeros((1, 32), jnp.int32)
+        lens = jnp.ones(1, jnp.int32) * 32
+        model_vars = init_on_cpu(
+            self.model.init,
+            {"params": key, "dropout": key, "noise": key, "reparam": key},
+            jnp.zeros(1, jnp.int32),
+            ids,
+            lens,
+            self.max_mel_frames,
+            method=self.model.inference,
+        )
+        payload = load_params(ckpt_path)
+        params, self.skipped = apply_weights(
+            jax.device_get(model_vars["params"]), payload.get("params", {})
+        )
+        self.variables = {"params": params}
+        if "batch_stats" in model_vars:
+            self.variables["batch_stats"] = payload.get(
+                "batch_stats", jax.device_get(model_vars["batch_stats"])
+            )
+
+        def _synth(variables, ids, lens, sids):
+            return self.model.apply(
+                variables,
+                sids,
+                ids,
+                lens,
+                self.max_mel_frames,
+                method=self.model.inference,
+                rngs={"noise": jax.random.PRNGKey(0)},
+            )
+
+        self._synth = jax.jit(_synth)
+
+    def __call__(self, texts: Sequence[str], speaker: str | int = 0) -> List[np.ndarray]:
+        import jax.numpy as jnp
+
+        ids, lens, _ = self.encode_texts(texts)
+        sid = self.speakers.get(speaker, speaker if isinstance(speaker, int) else 0)
+        sids = jnp.full((len(texts),), int(sid), jnp.int32)
+        wav, wav_lens = self._synth(
+            self.variables, jnp.asarray(ids), jnp.asarray(lens), sids
+        )
+        wav, wav_lens = np.asarray(wav), np.asarray(wav_lens)
+        return [wav[i, : int(wav_lens[i])] for i in range(len(texts))]
+
+
+def save_to_local(
+    audio: np.ndarray, path: str, sr: int = 22050
+) -> str:
+    """Persist synthesized audio (role of the missing `modules.upload.api`).
+
+    Writes 16-bit PCM WAV (the reference saved m4a via external tooling;
+    this environment has no ffmpeg, so WAV is the export format).
+    """
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    write_wav(path, audio, sr)
+    return path
