@@ -18,6 +18,7 @@ from viet_tts_tpu.ops.duration import (
     length_regulator,
     gaussian_upsample,
     average_by_duration,
+    average_channels_by_duration,
     expand_path_average,
     aggregate_by_ids,
 )
@@ -38,6 +39,7 @@ __all__ = [
     "length_regulator",
     "gaussian_upsample",
     "average_by_duration",
+    "average_channels_by_duration",
     "expand_path_average",
     "aggregate_by_ids",
     "get_segments",

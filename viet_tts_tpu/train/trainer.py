@@ -357,3 +357,18 @@ class AdaSpeechTrainer(FastSpeech2Trainer):
         from viet_tts_tpu.models.adaspeech import AdaSpeech
 
         return AdaSpeech
+
+    def __init_loss__(self):
+        from viet_tts_tpu.models.adaspeech import AdaSpeechLoss
+
+        loss_conf = dict(self.conf["train"][self.task]["loss"])
+        var = self.conf["models"][self.task]["variance"]
+        ve = var["variance_embedding"]
+        loss_conf["pitch_feature_level"] = ve["pitch_feature"]
+        loss_conf["energy_feature_level"] = ve["energy_feature"]
+        loss_conf["phoneme_level_encoder_step"] = var["reference_encoder"][
+            "phoneme_level_encoder_step"
+        ]
+        self.criterion = AdaSpeechLoss(
+            loss_conf, is_finetune=getattr(self.args, "is_finetune", False)
+        )
