@@ -595,3 +595,6 @@ class JETSTrainer(BaseTrainer):
         val = total / max(n, 1)
         self.valid_logger.log({"mel": val}, self.iter)
         self._report_validation({"mel": val})
+
+
+from viet_tts_tpu.train.vits2_trainer import VITS2Trainer  # noqa: E402  (CLI import point)
