@@ -69,20 +69,26 @@ def bench_tpu():
             method=model.inference,
         )
 
-    # warmup/compile
+    # warmup/compile (NOTE: block_until_ready does not reliably block on the
+    # axon remote runtime; a host scalar fetch is the only true sync)
     mel, mel_lens, _ = synth(variables, sids, text, text_lens, feats, aids)
-    mel.block_until_ready()
+    float(mel.sum())
+    mel, mel_lens, _ = synth(variables, sids, text, text_lens, feats, aids)
+    float(mel.sum())  # second warmup: first post-compile call still settles
 
     n_iters = 10
-    t0 = time.perf_counter()
+    times = []
     for _ in range(n_iters):
+        t0 = time.perf_counter()
         mel, mel_lens, _ = synth(variables, sids, text, text_lens, feats, aids)
-    mel.block_until_ready()
-    dt = (time.perf_counter() - t0) / n_iters
+        float(mel.sum())
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
 
-    frames = float(np.asarray(mel_lens).sum())
-    if frames == 0:  # random weights may predict ~zero durations; use budget
-        frames = B * T_MEL
+    # throughput/RTF against the static frame budget: the jitted graph
+    # computes all B*T_MEL frames regardless of predicted durations (random
+    # init predicts near-zero lengths, which would make RTF meaningless)
+    frames = B * T_MEL
     audio_seconds = frames * HOP / SR
     return {
         "sec_per_batch": dt,
@@ -209,18 +215,20 @@ def bench_jets_tpu():
         )
 
     wav, wav_lens = synth(variables, sids, text, text_lens)
-    wav.block_until_ready()
+    float(wav.sum())
+    wav, wav_lens = synth(variables, sids, text, text_lens)
+    float(wav.sum())  # second warmup
 
     n_iters = 10
-    t0 = time.perf_counter()
+    times = []
     for _ in range(n_iters):
+        t0 = time.perf_counter()
         wav, wav_lens = synth(variables, sids, text, text_lens)
-    wav.block_until_ready()
-    dt = (time.perf_counter() - t0) / n_iters
+        float(wav.sum())
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
 
-    samples = float(np.asarray(wav_lens).sum())
-    if samples == 0:  # random weights -> ~zero durations; use full budget
-        samples = B * T_MEL * HOP
+    samples = B * T_MEL * HOP  # static budget (see mel bench note)
     audio_seconds = samples / SR
     return {
         "sec_per_batch": dt,
