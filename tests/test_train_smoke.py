@@ -75,6 +75,12 @@ def test_bucket_batcher_static_shapes(workdir):
     conf = derive_task_config(
         build_config(os.path.join(REPO, "config")), "fastspeech2"
     )
+    if not os.path.exists(os.path.join(egs_dir, "train.txt")):
+        from viet_tts_tpu.data.filelist import create_filelist
+
+        create_filelist(
+            data_dir, {"hn_spk": 0, "hcm_spk": 1}, egs_dir, seed=0
+        )
     train = read_filelist(os.path.join(egs_dir, "train.txt"))
     ds = AcousticDataset(
         train, conf["audio"], {"hn_spk": 0, "hcm_spk": 1}, {"hn": 0, "hcm": 1}

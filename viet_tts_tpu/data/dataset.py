@@ -176,10 +176,10 @@ class AcousticDataset:
             wav_path=wav_path,
         )
         if self.include_speech:
-            from viet_tts_tpu.dsp.audio import read_wav
+            from viet_tts_tpu.runtime import native
 
-            audio, _ = read_wav(wav_path)
-            item["speech"] = audio.astype(np.float32)
+            audio, _ = native.wav_read_f32(wav_path)
+            item["speech"] = audio
         return item
 
 

@@ -29,8 +29,10 @@ class VocoderDataset:
         return len(self.inputs)
 
     def __getitem__(self, index: int) -> dict:
+        from viet_tts_tpu.runtime import native
+
         wav_path = self.inputs[index][0]
-        audio, sr = read_wav(wav_path)
+        audio, sr = native.wav_read_f32(wav_path)
         assert sr == self.sr, f"{sr} != {self.sr}"
         audio = peak_normalize(audio, 0.95)
 
