@@ -38,6 +38,8 @@ def build_arguments():
                         help="config directory (3-yaml layout)")
     parser.add_argument("--max_iter", type=int, default=2000000)
     parser.add_argument("--is_finetune", action="store_true")
+    parser.add_argument("--profile", action="store_true",
+                        help="write a jax.profiler trace of the first epoch")
     return parser.parse_args()
 
 

@@ -170,6 +170,12 @@ class BaseTrainer:
     # -- loop -----------------------------------------------------------
     def run(self):
         log.info(f"{self.task}: start training on {jax.devices()[0].platform}")
+        if getattr(self.args, "profile", False):
+            from viet_tts_tpu.utils.profiling import trace
+
+            with trace(os.path.join(self.args.output_folder, "log/profile")):
+                self.train_one_epoch()
+            log.info("profiler trace written to log/profile")
         while self.iter < self.args.max_iter:
             t0 = time.time()
             self.train_one_epoch()
