@@ -180,3 +180,38 @@ def test_jets_trainer_smoke(tmp_path):
     trainer.run()
     out = args.output_folder
     assert any(f.startswith("generator") for f in os.listdir(out))
+
+
+def test_jets_conformer_variant():
+    """encoder/decoder_type=conformer builds and runs (espnet-style rel-pos
+    conformer with macaron FF + CNN module)."""
+    hp = dict(TINY_HP)
+    hp.update(
+        encoder_type="conformer",
+        decoder_type="conformer",
+        conformer_enc_kernel_size=7,
+        conformer_dec_kernel_size=7,
+    )
+    model = JETS(n_symbols=131, n_channels=80, hparams=hp, n_speakers=2)
+    batch = make_batch()
+    key = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": key, "dropout": key, "noise": key}, **batch, train=True
+    )
+    outs, _ = model.apply(
+        variables,
+        **batch,
+        train=True,
+        rngs={"dropout": key, "noise": key},
+        mutable=["batch_stats"],
+    )
+    assert np.isfinite(np.asarray(outs[0])).all()
+    wav, _ = model.apply(
+        variables,
+        batch["sids"],
+        batch["text"],
+        batch["text_lengths"],
+        64,
+        method=model.inference,
+    )
+    assert wav.shape == (2, 64 * 256)

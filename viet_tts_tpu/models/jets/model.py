@@ -54,36 +54,49 @@ class JETS(nn.Module):
             hp.get("stop_gradient_from_energy_predictor", False)
         )
 
-        if hp.get("encoder_type", "transformer") != "transformer":
-            raise NotImplementedError(
-                "JETS conformer encoder variant not implemented yet"
+        def make_stack(kind, n_symbols):
+            is_enc = kind == "enc"
+            if hp.get(f"{'encoder' if is_enc else 'decoder'}_type", "transformer") == "conformer":
+                from viet_tts_tpu.nn.espnet_conformer import EspnetConformerEncoder
+
+                return EspnetConformerEncoder(
+                    d_model=adim,
+                    num_heads=hp["aheads"],
+                    linear_units=hp["eunits" if is_enc else "dunits"],
+                    num_blocks=hp["elayers" if is_enc else "dlayers"],
+                    n_symbols=n_symbols,
+                    kernel_size=hp.get(
+                        f"conformer_{kind}_kernel_size", 7 if is_enc else 31
+                    ),
+                    dropout=hp.get(f"transformer_{kind}_dropout_rate", 0.2),
+                    positional_dropout=hp.get(
+                        f"transformer_{kind}_positional_dropout_rate", 0.2
+                    ),
+                    attn_dropout=hp.get(
+                        f"transformer_{kind}_attn_dropout_rate", 0.2
+                    ),
+                    macaron=hp.get("use_macaron_style_in_conformer", True),
+                )
+            return EspnetTransformerEncoder(
+                d_model=adim,
+                num_heads=hp["aheads"],
+                linear_units=hp["eunits" if is_enc else "dunits"],
+                num_blocks=hp["elayers" if is_enc else "dlayers"],
+                n_symbols=n_symbols,
+                kernel_size=hp.get("positionwise_conv_kernel_size", 3),
+                dropout=hp.get(f"transformer_{kind}_dropout_rate", 0.2),
+                positional_dropout=hp.get(
+                    f"transformer_{kind}_positional_dropout_rate", 0.2
+                ),
+                attn_dropout=hp.get(f"transformer_{kind}_attn_dropout_rate", 0.2),
+                normalize_before=hp.get(
+                    f"{'encoder' if is_enc else 'decoder'}_normalize_before", True
+                ),
+                use_scaled_pos_enc=hp.get("use_scaled_pos_enc", True),
             )
-        self.encoder = EspnetTransformerEncoder(
-            d_model=adim,
-            num_heads=hp["aheads"],
-            linear_units=hp["eunits"],
-            num_blocks=hp["elayers"],
-            n_symbols=self.n_symbols + 1,
-            kernel_size=hp.get("positionwise_conv_kernel_size", 3),
-            dropout=hp.get("transformer_enc_dropout_rate", 0.2),
-            positional_dropout=hp.get("transformer_enc_positional_dropout_rate", 0.2),
-            attn_dropout=hp.get("transformer_enc_attn_dropout_rate", 0.2),
-            normalize_before=hp.get("encoder_normalize_before", True),
-            use_scaled_pos_enc=hp.get("use_scaled_pos_enc", True),
-        )
-        self.decoder = EspnetTransformerEncoder(
-            d_model=adim,
-            num_heads=hp["aheads"],
-            linear_units=hp["dunits"],
-            num_blocks=hp["dlayers"],
-            n_symbols=None,
-            kernel_size=hp.get("positionwise_conv_kernel_size", 3),
-            dropout=hp.get("transformer_dec_dropout_rate", 0.2),
-            positional_dropout=hp.get("transformer_dec_positional_dropout_rate", 0.2),
-            attn_dropout=hp.get("transformer_dec_attn_dropout_rate", 0.2),
-            normalize_before=hp.get("decoder_normalize_before", True),
-            use_scaled_pos_enc=hp.get("use_scaled_pos_enc", True),
-        )
+
+        self.encoder = make_stack("enc", self.n_symbols + 1)
+        self.decoder = make_stack("dec", None)
 
         if self.use_gst:
             self.gst = StyleEncoder(

@@ -1,0 +1,190 @@
+"""espnet-style Conformer encoder ("latest" rel-pos flavour) for JETS.
+
+Parity target: espnet `nets/pytorch_backend/conformer/encoder.py` as
+instantiated at `models/gan_tts/jets/model.py:317-341,460-482`
+(pos_enc_layer_type=rel_pos, self_attn=rel_selfattn, swish activation,
+macaron style, CNN module). Components:
+
+- RelPositionalEncoding: x * sqrt(d) plus a (2T-1)-long symmetric position
+  embedding handed to attention
+- RelPositionMultiHeadedAttention: Transformer-XL content/position scores
+  with learned pos_bias_u/v and the "latest" relative shift
+- ConvolutionModule: pointwise(2x) -> GLU -> depthwise -> BatchNorm -> swish
+  -> pointwise
+- macaron feed-forwards at 0.5 residual weight, pre-norm, final LayerNorm.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MASK_NEG = -1.0e9
+
+
+@functools.lru_cache(maxsize=8)
+def rel_positional_table(t: int, d_model: int) -> np.ndarray:
+    """Symmetric table for positions T-1 .. -(T-1), shape (2T-1, d)."""
+    pos = np.arange(t - 1, -t, -1, dtype=np.float64)[:, None]
+    div = np.exp(
+        np.arange(0, d_model, 2, dtype=np.float64) * -(np.log(10000.0) / d_model)
+    )
+    pe = np.zeros((2 * t - 1, d_model))
+    pe[:, 0::2] = np.sin(pos * div)
+    pe[:, 1::2] = np.cos(pos * div)
+    return pe.astype(np.float32)
+
+
+def _rel_shift(x: jnp.ndarray) -> jnp.ndarray:
+    """espnet 'latest' relative shift: (B, H, T, 2T-1) -> (B, H, T, T)."""
+    B, H, T, _ = x.shape
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (1, 0)))
+    x = x.reshape(B, H, 2 * T, T)
+    x = x[:, :, 1:].reshape(B, H, T, 2 * T - 1)
+    return x[:, :, :, :T]
+
+
+class RelPositionMultiHeadedAttention(nn.Module):
+    d_model: int
+    num_heads: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, pos_emb, valid_mask=None, train: bool = False):
+        H, D = self.num_heads, self.d_model // self.num_heads
+        B, T, _ = x.shape
+        q = nn.Dense(self.d_model, name="linear_q")(x).reshape(B, T, H, D)
+        k = nn.Dense(self.d_model, name="linear_k")(x).reshape(B, T, H, D)
+        v = nn.Dense(self.d_model, name="linear_v")(x).reshape(B, T, H, D)
+        p = nn.Dense(self.d_model, use_bias=False, name="linear_pos")(
+            pos_emb
+        ).reshape(1, -1, H, D)
+
+        u = self.param("pos_bias_u", nn.initializers.xavier_uniform(), (H, D))
+        w = self.param("pos_bias_v", nn.initializers.xavier_uniform(), (H, D))
+
+        matrix_ac = jnp.einsum("bqhd,bkhd->bhqk", q + u, k)
+        matrix_bd = jnp.einsum("bqhd,bkhd->bhqk", q + w, jnp.broadcast_to(p, (B, p.shape[1], H, D)))
+        matrix_bd = _rel_shift(matrix_bd)
+        scores = (matrix_ac + matrix_bd) / jnp.sqrt(jnp.asarray(D, x.dtype))
+
+        if valid_mask is not None:
+            scores = jnp.where(valid_mask[:, None, None, :], scores, MASK_NEG)
+        attn = nn.softmax(scores, axis=-1)
+        attn = nn.Dropout(self.dropout)(attn, deterministic=not train)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, T, self.d_model)
+        return nn.Dense(self.d_model, name="linear_out")(ctx)
+
+
+class EspnetConvModule(nn.Module):
+    d_model: int
+    kernel_size: int = 7
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h = nn.Conv(2 * self.d_model, (1,), name="pointwise_conv1")(x)
+        a, b = jnp.split(h, 2, axis=-1)
+        h = a * nn.sigmoid(b)  # GLU
+        h = nn.Conv(
+            self.d_model,
+            (self.kernel_size,),
+            padding="SAME",
+            feature_group_count=self.d_model,
+            name="depthwise_conv",
+        )(h)
+        h = nn.BatchNorm(use_running_average=not train, name="norm")(h)
+        h = h * nn.sigmoid(h)  # swish
+        return nn.Conv(self.d_model, (1,), name="pointwise_conv2")(h)
+
+
+class EspnetConformerLayer(nn.Module):
+    d_model: int
+    num_heads: int
+    linear_units: int
+    kernel_size: int = 7
+    dropout: float = 0.1
+    attn_dropout: float = 0.1
+    macaron: bool = True
+
+    @nn.compact
+    def __call__(self, x, pos_emb, valid_mask=None, train: bool = False):
+        def ff(name, z):
+            h = nn.LayerNorm(name=f"norm_{name}")(z)
+            h = nn.Dense(self.linear_units, name=f"{name}_w1")(h)
+            h = h * nn.sigmoid(h)  # swish
+            h = nn.Dropout(self.dropout)(h, deterministic=not train)
+            h = nn.Dense(self.d_model, name=f"{name}_w2")(h)
+            return nn.Dropout(self.dropout)(h, deterministic=not train)
+
+        if self.macaron:
+            x = x + 0.5 * ff("ff_macaron", x)
+
+        h = nn.LayerNorm(name="norm_mha")(x)
+        h = RelPositionMultiHeadedAttention(
+            self.d_model, self.num_heads, self.attn_dropout, name="self_attn"
+        )(h, pos_emb, valid_mask, train=train)
+        x = x + nn.Dropout(self.dropout)(h, deterministic=not train)
+
+        h = nn.LayerNorm(name="norm_conv")(x)
+        h = EspnetConvModule(self.d_model, self.kernel_size, name="conv_module")(
+            h, train=train
+        )
+        x = x + nn.Dropout(self.dropout)(h, deterministic=not train)
+
+        x = x + (0.5 if self.macaron else 1.0) * ff("ff", x)
+        return nn.LayerNorm(name="norm_final")(x)
+
+
+class EspnetConformerEncoder(nn.Module):
+    """Drop-in alternative to EspnetTransformerEncoder for JETS."""
+
+    d_model: int
+    num_heads: int
+    linear_units: int
+    num_blocks: int
+    n_symbols: Optional[int] = None
+    kernel_size: int = 7
+    dropout: float = 0.1
+    positional_dropout: float = 0.1
+    attn_dropout: float = 0.1
+    macaron: bool = True
+
+    @nn.compact
+    def __call__(
+        self,
+        xs: jnp.ndarray,
+        valid_mask: Optional[jnp.ndarray] = None,
+        train: bool = False,
+    ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+        if self.n_symbols is not None:
+            emb = nn.Embed(self.n_symbols, self.d_model, name="embed")(xs)
+            emb = emb * (xs != 0)[..., None]
+            x = emb
+        else:
+            x = xs
+        T = x.shape[1]
+        x = x * jnp.sqrt(jnp.asarray(self.d_model, x.dtype))
+        x = nn.Dropout(self.positional_dropout)(x, deterministic=not train)
+        pos_emb = jnp.asarray(rel_positional_table(T, self.d_model))[None]
+        pos_emb = nn.Dropout(self.positional_dropout)(
+            pos_emb, deterministic=not train
+        )
+
+        for i in range(self.num_blocks):
+            x = EspnetConformerLayer(
+                self.d_model,
+                self.num_heads,
+                self.linear_units,
+                self.kernel_size,
+                self.dropout,
+                self.attn_dropout,
+                self.macaron,
+                name=f"layer_{i}",
+            )(x, pos_emb, valid_mask, train=train)
+        x = nn.LayerNorm(name="after_norm")(x)
+        return x, valid_mask
