@@ -11,7 +11,7 @@ padded with repeated samples and masked by lengths).
 from __future__ import annotations
 
 import math
-from typing import Dict, Iterator, List, Optional, Sequence
+from typing import Dict, Iterator, List, Sequence
 
 import numpy as np
 

@@ -9,12 +9,12 @@ batch is already static-shape — no buckets needed.
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 
 from viet_tts_tpu.data.features import load_array, resolve_artifact
-from viet_tts_tpu.dsp.audio import peak_normalize, read_wav
+from viet_tts_tpu.dsp.audio import peak_normalize
 
 
 class VocoderDataset:

@@ -8,7 +8,7 @@ projections so CLN starts as plain LayerNorm), `adaspeech/layers.py:307-455`
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp

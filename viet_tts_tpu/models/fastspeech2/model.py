@@ -17,8 +17,7 @@ Differences by design (TPU):
 
 from __future__ import annotations
 
-from dataclasses import field
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import flax.linen as nn
 import jax

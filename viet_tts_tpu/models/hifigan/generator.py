@@ -10,7 +10,7 @@ asymmetric padding) so lengths match the reference everywhere.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import flax.linen as nn
 import jax

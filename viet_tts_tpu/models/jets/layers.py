@@ -8,7 +8,7 @@ espnet `fastspeech/duration_predictor.py` and
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import flax.linen as nn
 import jax

@@ -9,7 +9,7 @@ the reference; duration discriminators return sigmoid probabilities for
 from __future__ import annotations
 
 import math
-from typing import List, Sequence, Tuple
+from typing import Sequence
 
 import flax.linen as nn
 import jax

@@ -6,13 +6,13 @@ Parity with `models/gan_tts/vits2/layers.py`. Feature-last.
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence
+from typing import Sequence
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from viet_tts_tpu.models.hifigan.generator import WNConv1d, WNConvTranspose1d
+from viet_tts_tpu.models.hifigan.generator import WNConvTranspose1d
 from viet_tts_tpu.models.vits2.attentions import VitsEncoder
 from viet_tts_tpu.models.vits2.sublayers import (
     WN,

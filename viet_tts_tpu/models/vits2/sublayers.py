@@ -6,7 +6,7 @@ via flax WeightNorm / the shared WNConv1d.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Sequence
 
 import flax.linen as nn
 import jax

@@ -10,7 +10,7 @@ before the generator grads are taken.
 from __future__ import annotations
 
 import os
-from typing import Any, Dict
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
@@ -28,7 +28,6 @@ from viet_tts_tpu.models.hifigan import (
     feature_match_loss,
     generator_adversarial_loss,
 )
-from viet_tts_tpu.train import checkpoint as ckpt
 from viet_tts_tpu.train.state import (
     TrainState,
     adamw_with_clip,
@@ -37,7 +36,6 @@ from viet_tts_tpu.train.state import (
     set_learning_rate,
 )
 from viet_tts_tpu.train.trainer import BaseTrainer, log
-from viet_tts_tpu.utils.logging import text_colors
 
 
 def make_hifigan_train_step(gen, disc, mel_loss: MelSpectrogramLoss, lambdas=None):

@@ -10,8 +10,6 @@ per-iteration host update at `:151-156`, with its initial/delta swap bug fixed).
 from __future__ import annotations
 
 import os
-from typing import Dict
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -29,7 +27,6 @@ from viet_tts_tpu.models.vits2 import (
     kl_loss,
 )
 from viet_tts_tpu.ops import get_segments
-from viet_tts_tpu.train import checkpoint as ckpt
 from viet_tts_tpu.train.state import (
     TrainState,
     adamw_with_clip,
