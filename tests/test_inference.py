@@ -84,3 +84,37 @@ def test_two_stage_controls(trained_ckpts):
     fast = tts(["xin chào các bạn"], d_control=0.5)
     # duration control stretches synthesized length
     assert len(slow[0]) >= len(fast[0])
+
+
+def test_one_stage_vits2(tmp_path):
+    """Train a tiny VITS2 then synthesize through OneStageTTS."""
+    import argparse
+
+    from tests.test_vits2 import TINY_HP
+    from viet_tts_tpu.train.vits2_trainer import VITS2Trainer
+
+    data_dir, egs_dir = build_dataset(str(tmp_path), n_utts=4)
+    conf = build_config(os.path.join(REPO, "config"))
+    conf["train"]["batch_size"] = 2
+    conf["models"]["vits2"] = dict(TINY_HP)
+    out = os.path.join(str(tmp_path), "out")
+    args = argparse.Namespace(
+        task="vits2",
+        input_folder=egs_dir,
+        data_folder=data_dir,
+        output_folder=out,
+        checkpoint=None,
+        acoustic_checkpoint=None,
+        vocoder_checkpoint=None,
+        version="fastspeech2",
+        max_iter=1,
+        is_finetune=False,
+    )
+    VITS2Trainer(args, conf).run()
+
+    from viet_tts_tpu.infer.api import OneStageTTS
+
+    tts = OneStageTTS(out, model_type="VITS2", max_mel_frames=128)
+    waves = tts(["xin chào các bạn"], speaker="hn_spk")
+    assert len(waves) == 1
+    assert waves[0].ndim == 1 and np.isfinite(waves[0]).all()

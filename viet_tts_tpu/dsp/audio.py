@@ -107,3 +107,41 @@ def preprocess_wav(
     if target_dbfs is not None:
         audio = loudness_normalize(audio, target_dbfs)
     return audio, target_sr
+
+
+def _main():
+    """Standalone preprocessing CLI (role of the reference's
+    `modules/processor/audio_processor.py`): mono-ise, resample to the
+    target rate, trim silence, loudness-normalise.
+
+        python -m viet_tts_tpu.dsp.audio in_dir out_dir [--sr 22050]
+    """
+    import argparse
+    import os
+
+    p = argparse.ArgumentParser(description=_main.__doc__)
+    p.add_argument("in_dir")
+    p.add_argument("out_dir")
+    p.add_argument("--sr", type=int, default=22050)
+    p.add_argument("--trim_db", type=float, default=-50.0)
+    p.add_argument("--target_dbfs", type=float, default=-20.0)
+    args = p.parse_args()
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    n = 0
+    for name in sorted(os.listdir(args.in_dir)):
+        if not name.lower().endswith(".wav"):
+            continue
+        audio, sr = preprocess_wav(
+            os.path.join(args.in_dir, name),
+            target_sr=args.sr,
+            trim_db=args.trim_db,
+            target_dbfs=args.target_dbfs,
+        )
+        write_wav(os.path.join(args.out_dir, name), audio, sr)
+        n += 1
+    print(f"processed {n} files -> {args.out_dir}")
+
+
+if __name__ == "__main__":
+    _main()
