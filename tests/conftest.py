@@ -23,6 +23,16 @@ import jax
 # no arrays have been created yet.
 jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
+# Persistent compilation cache: the suite is dominated by CPU compiles of
+# the tiny-model trainer smokes; repeat runs hit the cache instead.
+_cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+except Exception:
+    pass
+
 import pathlib
 import sys
 

@@ -114,3 +114,19 @@ def test_full_vocabulary_parity_vs_reference(g2p):
         assert not diffs, diffs[:10]
     finally:
         sys.path.remove(str(REFERENCE))
+
+
+def test_split_sentences():
+    from viet_tts_tpu.infer.api import split_sentences
+
+    text = (
+        "hôm nay trời đẹp quá. chúng ta đi chơi nhé! "
+        + " ".join(["từ"] * 100)
+        + ", rồi về nhà."
+    )
+    parts = split_sentences(text, max_words=40)
+    assert parts[0] == "hôm nay trời đẹp quá."
+    assert parts[1] == "chúng ta đi chơi nhé!"
+    assert all(len(p.split()) <= 40 for p in parts)
+    # nothing lost
+    assert sum(len(p.split()) for p in parts) == len(text.split())

@@ -59,6 +59,34 @@ DEFAULT_STATS = {
 }
 
 
+def split_sentences(text: str, max_words: int = 40) -> list:
+    """Split long-form text into synthesis-sized sentences.
+
+    The reference relied on an external normalizer service returning
+    sentence lists (`test.py:56-57`); this is the in-framework equivalent:
+    split on sentence punctuation, then fold over-long pieces at commas or
+    word boundaries (sequences are capped at 1000 mel frames upstream).
+    """
+    import re
+
+    pieces = [p.strip() for p in re.split(r"(?<=[.!?;…])\s+", text) if p.strip()]
+    out = []
+    for p in pieces:
+        words = p.split()
+        while len(words) > max_words:
+            # prefer a comma split inside the window
+            cut = max_words
+            for i in range(max_words, max_words // 2, -1):
+                if words[i - 1].endswith(","):
+                    cut = i
+                    break
+            out.append(" ".join(words[:cut]))
+            words = words[cut:]
+        if words:
+            out.append(" ".join(words))
+    return out
+
+
 class _TTSBase:
     """Shared text front-end + batching."""
 
@@ -66,6 +94,14 @@ class _TTSBase:
         self.g2p = VietnameseG2P()
         self.sr = sr
         self.hop = hop
+
+    def synthesize_long(self, text: str, max_words: int = 40, **kwargs):
+        """Long-form synthesis: sentence-split, batch, concatenate."""
+        sentences = split_sentences(text, max_words=max_words)
+        if not sentences:
+            return np.zeros(0, np.float32)
+        waves = self(sentences, **kwargs)
+        return np.concatenate(waves)
 
     def encode_texts(
         self, texts: Sequence[str]
