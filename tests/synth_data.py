@@ -27,9 +27,12 @@ def build_dataset(root, n_utts=12, sr=22050, seed=0, speakers=("hn_spk", "hcm_sp
         accent = spk.split("_")[0]
         rows = []
         for i in range(n_utts):
-            n_words = rng.randint(3, 7)
+            # fixed word count + two wav lengths keep every utterance in ONE
+            # (text, mel) bucket -> a single train-step trace/compile, and
+            # only two mel-extraction shapes (the suite is tracing-bound)
+            n_words = 3
             text = " ".join(rng.choice(WORDS, n_words))
-            dur_s = 0.8 + 0.6 * rng.rand()
+            dur_s = 1.0 if i % 2 == 0 else 1.2
             t = np.arange(int(sr * dur_s)) / sr
             f0 = 120 + 60 * rng.rand()
             audio = 0.3 * np.sin(2 * np.pi * f0 * t) * (

@@ -47,6 +47,9 @@ TINY_HP = {
     "use_duration_discriminator": True,
     "duration_discriminator_type": "dur_disc_1",
     "n_layers_q": 3,
+    "n_flows": 1,
+    "sdp_n_flows": 1,
+    "flow_wn_layers": 2,
     "use_spectral_norm": False,
     "mpd_periods": [2],
 }
@@ -182,3 +185,72 @@ def test_vits2_trainer_smoke(tmp_path):
     out = args.output_folder
     assert any(f.startswith("generator") for f in os.listdir(out))
     assert os.path.exists(os.path.join(out, "last_discriminator_statedict.msgpack"))
+
+
+@pytest.mark.parametrize(
+    "ftype",
+    [
+        "pre_conv",
+        "pre_conv2",
+        "fft",
+        "mono_layer_inter_residual",
+        "mono_layer_post_residual",
+        "none",
+    ],
+)
+def test_flow_types_invertible(ftype):
+    from viet_tts_tpu.models.vits2.layers import ResidualCouplingTransformersBlock
+
+    block = ResidualCouplingTransformersBlock(
+        channels=8,
+        hidden_channels=16,
+        kernel_size=5,
+        dilation_rate=1,
+        n_layers=2,
+        n_flows=1,
+        gin_channels=4,
+        use_transformer_flows=ftype != "none",
+        transformer_flow_type=ftype,
+    )
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 12, 8).astype(np.float32))
+    mask = jnp.ones((2, 12, 1), jnp.float32)
+    g = jnp.asarray(rng.randn(2, 4).astype(np.float32))
+    variables = block.init(jax.random.PRNGKey(0), x, mask, g=g, train=False)
+    # the post convs are zero-init (identity coupling) -- randomize them so
+    # invertibility is checked on a non-trivial transform
+    variables = jax.tree_util.tree_map_with_path(
+        lambda path, v: (
+            jnp.asarray(rng.randn(*v.shape).astype(np.float32) * 0.3)
+            if any(getattr(p, "key", None) == "post" for p in path)
+            else v
+        ),
+        variables,
+    )
+    z = block.apply(variables, x, mask, g=g, train=False)
+    assert float(jnp.abs(z - x).max()) > 1e-3  # non-identity flow
+
+    assert z.shape == x.shape and np.isfinite(np.asarray(z)).all()
+    x_rec = block.apply(variables, z, mask, g=g, reverse=True, train=False)
+    if ftype == "mono_layer_post_residual":
+        # the reference reverse is not the exact inverse (sigmoid sign quirk,
+        # reference layers.py:735-743); just require finite output
+        assert np.isfinite(np.asarray(x_rec)).all()
+    else:
+        np.testing.assert_allclose(np.asarray(x_rec), np.asarray(x), atol=1e-4)
+
+
+def test_unknown_flow_type_rejected():
+    from viet_tts_tpu.models.vits2.layers import ResidualCouplingTransformersBlock
+
+    block = ResidualCouplingTransformersBlock(
+        channels=8, hidden_channels=16, use_transformer_flows=True,
+        transformer_flow_type="garbagetype", n_flows=1,
+    )
+    with pytest.raises(ValueError, match="transformer_flow_type"):
+        block.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 8, 8)),
+            jnp.ones((1, 8, 1)),
+            train=False,
+        )

@@ -103,16 +103,20 @@ class MaskedFFN(nn.Module):
     out_channels: int
     kernel_size: int = 3
     p_dropout: float = 0.0
+    causal: bool = False
 
     @nn.compact
     def __call__(self, x, x_mask, train: bool = False):
+        pad = (
+            [(self.kernel_size - 1, 0)] if self.causal else "SAME"
+        )  # `attentions.py:418-431`
         h = nn.Conv(
-            self.filter_channels, (self.kernel_size,), padding="SAME", name="conv_1"
+            self.filter_channels, (self.kernel_size,), padding=pad, name="conv_1"
         )(x * x_mask)
         h = nn.relu(h)
         h = nn.Dropout(self.p_dropout)(h, deterministic=not train)
         h = nn.Conv(
-            self.out_channels, (self.kernel_size,), padding="SAME", name="conv_2"
+            self.out_channels, (self.kernel_size,), padding=pad, name="conv_2"
         )(h * x_mask)
         return h * x_mask
 
@@ -166,4 +170,68 @@ class VitsEncoder(nn.Module):
             )(x, x_mask, train=train)
             y = nn.Dropout(self.p_dropout)(y, deterministic=not train)
             x = nn.LayerNorm(name=f"norm2_{i}")(x + y)
+        return x * x_mask
+
+
+class CausalFFT(nn.Module):
+    """Decoder-style stack: causal self-attention + causal conv FFN, with a
+    WN-style gated speaker injection before every layer
+    (`attentions.py:556-643`; used by the `fft` coupling flow)."""
+
+    hidden_channels: int
+    filter_channels: int
+    n_heads: int
+    n_layers: int = 1
+    kernel_size: int = 1
+    p_dropout: float = 0.0
+    gin_channels: int = 0
+
+    @nn.compact
+    def __call__(self, x, x_mask, g=None, train: bool = False):
+        """x: (B, T, C); x_mask: (B, T, 1); g: (B, gin) or None."""
+        T = x.shape[1]
+        m = x_mask[..., 0]
+        attn_mask = (
+            jnp.tril(jnp.ones((T, T), x.dtype))[None]
+            * m[:, :, None]
+            * m[:, None, :]
+        )
+        use_cond = g is not None and self.gin_channels > 0
+        if use_cond:
+            # one projection produces all layers' gate parameters; a shared
+            # 1x1 conv re-embeds x before each gate (`attentions.py:579-585`)
+            g_all = nn.Dense(
+                2 * self.hidden_channels * self.n_layers, name="cond_layer"
+            )(g)
+            cond_pre = nn.Conv(2 * self.hidden_channels, (1,), name="cond_pre")
+        x = x * x_mask
+        for i in range(self.n_layers):
+            if use_cond:
+                xc = cond_pre(x)
+                g_l = g_all[:, None, 2 * self.hidden_channels * i :]
+                g_l = g_l[..., : 2 * self.hidden_channels]
+                acts = xc + g_l
+                x = jnp.tanh(acts[..., : self.hidden_channels]) * nn.sigmoid(
+                    acts[..., self.hidden_channels :]
+                )
+            y = RelPosMultiHeadAttention(
+                self.hidden_channels,
+                self.hidden_channels,
+                self.n_heads,
+                self.p_dropout,
+                window_size=None,
+                name=f"attn_{i}",
+            )(x, x, attn_mask, train=train)
+            y = nn.Dropout(self.p_dropout)(y, deterministic=not train)
+            x = nn.LayerNorm(name=f"norm0_{i}")(x + y)
+            y = MaskedFFN(
+                self.filter_channels,
+                self.hidden_channels,
+                self.kernel_size,
+                self.p_dropout,
+                causal=True,
+                name=f"ffn_{i}",
+            )(x, x_mask, train=train)
+            y = nn.Dropout(self.p_dropout)(y, deterministic=not train)
+            x = nn.LayerNorm(name=f"norm1_{i}")(x + y)
         return x * x_mask

@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from viet_tts_tpu.models.hifigan.generator import WNConvTranspose1d
-from viet_tts_tpu.models.vits2.attentions import VitsEncoder
+from viet_tts_tpu.models.vits2.attentions import CausalFFT, VitsEncoder
 from viet_tts_tpu.models.vits2.sublayers import (
     WN,
     ConvFlow,
@@ -204,7 +204,7 @@ class StochasticDurationPredictor(nn.Module):
         self.post_proj = nn.Conv(fc, (1,))
         self.post_convs = DDSConv(fc, self.kernel_size, 3, self.p_dropout)
         post_flows = [ElementwiseAffine(2)]
-        for _ in range(4):
+        for _ in range(self.n_flows):
             post_flows.append(ConvFlow(2, fc, self.kernel_size, n_layers=3))
             post_flows.append(Flip())
         self.post_flows = post_flows
@@ -334,6 +334,165 @@ class ResidualCouplingTransformersLayer(nn.Module):
         return jnp.concatenate([x0, x1], axis=-1)
 
 
+class ResidualCouplingTransformersLayer2(nn.Module):
+    """pre_conv2 variant: 1-layer transformer residual between the pre
+    projection and the WN coupling (`layers.py:475-539`)."""
+
+    channels: int
+    hidden_channels: int
+    kernel_size: int
+    dilation_rate: int
+    n_layers: int
+    gin_channels: int = 0
+    mean_only: bool = True
+
+    @nn.compact
+    def __call__(self, x, x_mask, g=None, reverse: bool = False, train: bool = False):
+        half = self.channels // 2
+        x0, x1 = x[..., :half], x[..., half:]
+        h = nn.Conv(self.hidden_channels, (1,), name="pre")(x0) * x_mask
+        h = h + VitsEncoder(
+            self.hidden_channels,
+            self.hidden_channels,
+            n_heads=2,
+            n_layers=1,
+            kernel_size=self.kernel_size,
+            p_dropout=0.0,
+            name="pre_transformer",
+        )(h * x_mask, x_mask, train=train)
+        h = WN(
+            self.hidden_channels,
+            self.kernel_size,
+            self.dilation_rate,
+            self.n_layers,
+            self.gin_channels,
+            name="enc",
+        )(h, x_mask, g, train=train)
+        stats = nn.Conv(
+            half * (2 - int(self.mean_only)),
+            (1,),
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            name="post",
+        )(h) * x_mask
+        if self.mean_only:
+            m, logs = stats, jnp.zeros_like(stats)
+        else:
+            m, logs = jnp.split(stats, 2, axis=-1)
+        if not reverse:
+            x1 = (m + x1 * jnp.exp(logs)) * x_mask
+            return jnp.concatenate([x0, x1], axis=-1), jnp.sum(logs, axis=(1, 2))
+        x1 = (x1 - m) * jnp.exp(-logs) * x_mask
+        return jnp.concatenate([x0, x1], axis=-1)
+
+
+class FFTransformerCouplingLayer(nn.Module):
+    """fft variant: causal FFT stack as the coupling network
+    (`layers.py:626-684`)."""
+
+    channels: int
+    hidden_channels: int
+    kernel_size: int
+    n_layers: int
+    n_heads: int
+    filter_channels: int = 768
+    gin_channels: int = 0
+    mean_only: bool = True
+
+    @nn.compact
+    def __call__(self, x, x_mask, g=None, reverse: bool = False, train: bool = False):
+        half = self.channels // 2
+        x0, x1 = x[..., :half], x[..., half:]
+        h = nn.Conv(self.hidden_channels, (1,), name="pre")(x0) * x_mask
+        h_ = CausalFFT(
+            self.hidden_channels,
+            self.filter_channels,
+            self.n_heads,
+            self.n_layers,
+            self.kernel_size,
+            gin_channels=self.gin_channels,
+            name="enc",
+        )(h, x_mask, g=g, train=train)
+        h = h_ + h
+        stats = nn.Conv(
+            half * (2 - int(self.mean_only)),
+            (1,),
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            name="post",
+        )(h) * x_mask
+        if self.mean_only:
+            m, logs = stats, jnp.zeros_like(stats)
+        else:
+            m, logs = jnp.split(stats, 2, axis=-1)
+        if not reverse:
+            x1 = (m + x1 * jnp.exp(logs)) * x_mask
+            return jnp.concatenate([x0, x1], axis=-1), jnp.sum(logs, axis=(1, 2))
+        x1 = (x1 - m) * jnp.exp(-logs) * x_mask
+        return jnp.concatenate([x0, x1], axis=-1)
+
+
+class MonoTransformerFlowLayer(nn.Module):
+    """mono_layer variant: transformer-only half-coupling, optionally with
+    the VITS2 fig-1B residual connection (`layers.py:686-770`). The
+    residual reverse uses sigmoid(logs) where the exact inverse would be
+    sigmoid(-logs) -- preserved as the reference computes it
+    (`layers.py:735-743`)."""
+
+    channels: int
+    hidden_channels: int
+    mean_only: bool = True
+    residual_connection: bool = False
+
+    @nn.compact
+    def __call__(self, x, x_mask, g=None, reverse: bool = False, train: bool = False):
+        half = self.channels // 2
+        x0, x1 = x[..., :half], x[..., half:]
+        if self.residual_connection and reverse:
+            x0 = x0 / 2.0
+        pre_transformer = VitsEncoder(
+            half,
+            half,
+            n_heads=2,
+            n_layers=2,
+            kernel_size=3,
+            p_dropout=0.1,
+            window_size=None,
+            name="pre_transformer",
+        )
+        post = nn.Conv(
+            half * (2 - int(self.mean_only)),
+            (1,),
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            name="post",
+        )
+        if self.residual_connection:
+            # reference feeds x0 unmasked into the transformer here
+            h = pre_transformer(x0, x_mask, train=train)
+        else:
+            h = pre_transformer(x0 * x_mask, x_mask, train=train) + x0
+        stats = post(h) * x_mask
+        if self.mean_only:
+            m, logs = stats, jnp.zeros_like(stats)
+        else:
+            m, logs = jnp.split(stats, 2, axis=-1)
+        if self.residual_connection:
+            if not reverse:
+                x1_ = (m + x1 * jnp.exp(logs)) * x_mask
+                out = x + jnp.concatenate([x0, x1_], axis=-1)
+                logdet = jnp.sum(jnp.log(jnp.exp(logs) + 1.0), axis=(1, 2))
+                logdet = logdet + math.log(2.0) * (x0.shape[1] * x0.shape[2])
+                return out, logdet
+            x1 = (x1 - m) / (1.0 + jnp.exp(-logs)) * x_mask
+            return jnp.concatenate([x0, x1], axis=-1)
+        if not reverse:
+            x1 = (m + x1 * jnp.exp(logs)) * x_mask
+            return jnp.concatenate([x0, x1], axis=-1), jnp.sum(logs, axis=(1, 2))
+        x1 = (x1 - m) * jnp.exp(-logs) * x_mask
+        return jnp.concatenate([x0, x1], axis=-1)
+
+
 class ResidualCouplingTransformersBlock(nn.Module):
     """4x (coupling layer + flip) flow stack (`layers.py:342-472`)."""
 
@@ -347,12 +506,69 @@ class ResidualCouplingTransformersBlock(nn.Module):
     use_transformer_flows: bool = True
     transformer_flow_type: str = "pre_conv"
 
+    AVAILABLE_FLOW_TYPES = (
+        "pre_conv",
+        "pre_conv2",
+        "fft",
+        "mono_layer_inter_residual",
+        "mono_layer_post_residual",
+    )
+
     def setup(self):
+        ftype = self.transformer_flow_type if self.use_transformer_flows else "none"
+        if self.use_transformer_flows and ftype not in self.AVAILABLE_FLOW_TYPES:
+            # the reference asserts the same set (`generator.py:9-15,88-91`)
+            raise ValueError(
+                f"transformer_flow_type must be one of {self.AVAILABLE_FLOW_TYPES},"
+                f" got {ftype!r}"
+            )
         flows = []
         for _ in range(self.n_flows):
-            if self.use_transformer_flows and self.transformer_flow_type == "pre_conv":
+            if ftype == "pre_conv":
                 flows.append(
                     ResidualCouplingTransformersLayer(
+                        self.channels,
+                        self.hidden_channels,
+                        self.kernel_size,
+                        self.dilation_rate,
+                        self.n_layers,
+                        gin_channels=self.gin_channels,
+                        mean_only=True,
+                    )
+                )
+            elif ftype == "pre_conv2":
+                flows.append(
+                    ResidualCouplingTransformersLayer2(
+                        self.channels,
+                        self.hidden_channels,
+                        self.kernel_size,
+                        self.dilation_rate,
+                        self.n_layers,
+                        gin_channels=self.gin_channels,
+                        mean_only=True,
+                    )
+                )
+            elif ftype == "fft":
+                # the reference call site passes dilation_rate/n_layers into
+                # the (n_layers, n_heads) slots positionally
+                # (`layers.py:395-408` vs `layers.py:626-637`) -- preserved
+                flows.append(
+                    FFTransformerCouplingLayer(
+                        self.channels,
+                        self.hidden_channels,
+                        self.kernel_size,
+                        n_layers=self.dilation_rate,
+                        n_heads=self.n_layers,
+                        gin_channels=self.gin_channels,
+                        mean_only=True,
+                    )
+                )
+            elif ftype in (
+                "mono_layer_inter_residual",
+                "mono_layer_post_residual",
+            ):
+                flows.append(
+                    ResidualCouplingLayer(
                         self.channels,
                         self.hidden_channels,
                         self.kernel_size,
@@ -375,6 +591,15 @@ class ResidualCouplingTransformersBlock(nn.Module):
                     )
                 )
             flows.append(Flip())
+            if ftype in ("mono_layer_inter_residual", "mono_layer_post_residual"):
+                flows.append(
+                    MonoTransformerFlowLayer(
+                        self.channels,
+                        self.hidden_channels,
+                        mean_only=True,
+                        residual_connection=(ftype == "mono_layer_post_residual"),
+                    )
+                )
         self.flows = flows
 
     def __call__(self, x, x_mask, g=None, reverse: bool = False, train: bool = False):

@@ -91,7 +91,7 @@ class VITS2(nn.Module):
                 filter_channels=192,
                 kernel_size=3,
                 p_dropout=0.5,
-                n_flows=4,
+                n_flows=hp.get("sdp_n_flows", 4),
                 gin_channels=gin,
             )
         else:
@@ -116,7 +116,8 @@ class VITS2(nn.Module):
             hidden_channels=hidden,
             kernel_size=5,
             dilation_rate=1,
-            n_layers=4,
+            n_layers=hp.get("flow_wn_layers", 4),
+            n_flows=hp.get("n_flows", 4),
             gin_channels=gin,
             use_transformer_flows=bool(hp.get("use_transformer_flows", True)),
             transformer_flow_type=hp.get("transformer_flow_type", "pre_conv"),
