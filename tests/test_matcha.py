@@ -210,3 +210,28 @@ def test_matcha_trainer_smoke(tmp_path):
 
     stats = json.load(open(os.path.join(out, "stats.json")))
     assert "mel_mean" in stats and "mel_std" in stats
+
+
+def test_unet_conformer_blocks():
+    from viet_tts_tpu.models.matcha.decoder import UNetDecoder
+
+    dec = UNetDecoder(
+        out_channels=8,
+        channels=(16, 16),
+        attention_head_dim=8,
+        num_heads=2,
+        down_block_type="conformer",
+        mid_block_type="conformer",
+        up_block_type="conformer",
+    )
+    x = jnp.zeros((2, 32, 8))
+    mask = jnp.ones((2, 32, 1))
+    mu = jnp.zeros((2, 32, 8))
+    t = jnp.asarray([0.1, 0.9])
+    variables = dec.init(jax.random.PRNGKey(0), x, mask, mu, t)
+    out = dec.apply(variables, x, mask, mu, t)
+    assert out.shape == (2, 32, 8)
+    assert np.isfinite(np.asarray(out)).all()
+    # conformer params present
+    flat = jax.tree_util.tree_leaves_with_path(variables)
+    assert any("rel_pos_emb" in jax.tree_util.keystr(p) for p, _ in flat)

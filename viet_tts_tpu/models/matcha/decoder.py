@@ -127,11 +127,97 @@ class BasicTransformerBlock(nn.Module):
         return x
 
 
+class ConformerBlock(nn.Module):
+    """Conformer block for the UNet stages (`blocks/conformer.py:1-40`,
+    wrapping the public lucidrains layout): half-step FF -> self-attention
+    with clipped relative positions -> conv module -> half-step FF ->
+    post-LN. The conv module uses LayerNorm where the torch original uses
+    BatchNorm1d -- a stateless choice so the ODE solver needs no mutable
+    batch statistics."""
+
+    dim: int
+    num_heads: int
+    head_dim: int
+    dropout: float = 0.0
+    ff_mult: int = 1
+    conv_expansion: int = 2
+    conv_kernel_size: int = 31
+    max_rel_pos: int = 512
+
+    @nn.compact
+    def __call__(self, x, valid_mask=None, train: bool = False):
+        mask = (
+            valid_mask[..., None].astype(x.dtype)
+            if valid_mask is not None
+            else jnp.ones_like(x[..., :1])
+        )
+
+        def ff(h, name):
+            h = nn.LayerNorm(name=f"{name}_norm")(h)
+            h = nn.Dense(self.dim * self.ff_mult, name=f"{name}_in")(h)
+            h = nn.silu(h)
+            h = nn.Dropout(self.dropout)(h, deterministic=not train)
+            h = nn.Dense(self.dim, name=f"{name}_out")(h)
+            return nn.Dropout(self.dropout)(h, deterministic=not train)
+
+        x = x + 0.5 * ff(x, "ff1")
+
+        inner = self.num_heads * self.head_dim
+        h = nn.LayerNorm(name="attn_norm")(x)
+        B, T, _ = x.shape
+        q = nn.Dense(inner, name="attn_q")(h).reshape(B, T, self.num_heads, -1)
+        k = nn.Dense(inner, name="attn_k")(h).reshape(B, T, self.num_heads, -1)
+        v = nn.Dense(inner, name="attn_v")(h).reshape(B, T, self.num_heads, -1)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k)
+        # clipped relative-position bias (Shaw), shared across heads' dims
+        rel = jnp.clip(
+            jnp.arange(T)[None, :] - jnp.arange(T)[:, None],
+            -self.max_rel_pos,
+            self.max_rel_pos,
+        ) + self.max_rel_pos
+        rel_emb = self.param(
+            "rel_pos_emb",
+            nn.initializers.normal(0.02),
+            (2 * self.max_rel_pos + 1, self.head_dim),
+        )
+        scores = scores + jnp.einsum("bqhd,qkd->bhqk", q, rel_emb[rel])
+        scores = scores / jnp.sqrt(jnp.asarray(self.head_dim, x.dtype))
+        if valid_mask is not None:
+            scores = jnp.where(valid_mask[:, None, None, :], scores, MASK_NEG)
+        attn = nn.softmax(scores, axis=-1)
+        attn = nn.Dropout(self.dropout)(attn, deterministic=not train)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, T, inner)
+        x = x + nn.Dropout(self.dropout)(
+            nn.Dense(self.dim, name="attn_out")(ctx), deterministic=not train
+        )
+
+        h = nn.LayerNorm(name="conv_norm")(x)
+        h = nn.Dense(2 * self.dim * self.conv_expansion, name="conv_in")(h)
+        a, b = jnp.split(h, 2, axis=-1)
+        h = a * nn.sigmoid(b)  # GLU
+        h = nn.Conv(
+            self.dim * self.conv_expansion,
+            (self.conv_kernel_size,),
+            feature_group_count=self.dim * self.conv_expansion,
+            padding="SAME",
+            name="conv_dw",
+        )(h * mask)
+        h = nn.LayerNorm(name="conv_bn")(h)
+        h = nn.silu(h)
+        h = nn.Dense(self.dim, name="conv_out")(h)
+        x = x + nn.Dropout(self.dropout)(h, deterministic=not train)
+
+        x = x + 0.5 * ff(x, "ff2")
+        return nn.LayerNorm(name="final_norm")(x)
+
+
 class UNetDecoder(nn.Module):
     """The CFM vector-field estimator (`sub_layers.py:490-735`).
 
     Inputs/outputs feature-last: x (B, T, n_feats); T must be divisible by
     2^(len(channels)-1) (the loader's fix_len_compatibility guarantee).
+    Per-stage `*_block_type` selects transformer or conformer attention
+    blocks (`sub_layers.py:501-503,609-635`).
     """
 
     out_channels: int
@@ -141,6 +227,26 @@ class UNetDecoder(nn.Module):
     n_blocks: int = 1
     num_mid_blocks: int = 2
     num_heads: int = 2
+    down_block_type: str = "transformer"
+    mid_block_type: str = "transformer"
+    up_block_type: str = "transformer"
+
+    def _block(self, block_type: str, dim: int, name: str):
+        if block_type == "conformer":
+            return ConformerBlock(
+                dim,
+                self.num_heads,
+                self.attention_head_dim,
+                self.dropout,
+                name=name,
+            )
+        return BasicTransformerBlock(
+            dim,
+            self.num_heads,
+            self.attention_head_dim,
+            self.dropout,
+            name=name,
+        )
 
     @nn.compact
     def __call__(
@@ -172,13 +278,9 @@ class UNetDecoder(nn.Module):
             m = masks[-1]
             h = ResnetBlock1D(ch, name=f"down_res_{i}")(h, m, t_emb)
             for j in range(self.n_blocks):
-                h = BasicTransformerBlock(
-                    ch,
-                    self.num_heads,
-                    self.attention_head_dim,
-                    self.dropout,
-                    name=f"down_tf_{i}_{j}",
-                )(h, m[..., 0] > 0, train=train)
+                h = self._block(self.down_block_type, ch, f"down_tf_{i}_{j}")(
+                    h, m[..., 0] > 0, train=train
+                )
             hiddens.append(h)
             if not is_last:
                 h = nn.Conv(ch, (3,), strides=(2,), padding=((1, 1),), name=f"down_conv_{i}")(h * m)
@@ -192,12 +294,8 @@ class UNetDecoder(nn.Module):
         for i in range(self.num_mid_blocks):
             h = ResnetBlock1D(channels[-1], name=f"mid_res_{i}")(h, m_mid, t_emb)
             for j in range(self.n_blocks):
-                h = BasicTransformerBlock(
-                    channels[-1],
-                    self.num_heads,
-                    self.attention_head_dim,
-                    self.dropout,
-                    name=f"mid_tf_{i}_{j}",
+                h = self._block(
+                    self.mid_block_type, channels[-1], f"mid_tf_{i}_{j}"
                 )(h, m_mid[..., 0] > 0, train=train)
 
         up_channels = channels[::-1] + (channels[0],)
@@ -208,13 +306,9 @@ class UNetDecoder(nn.Module):
             h = jnp.concatenate([h, hiddens.pop()], axis=-1)
             h = ResnetBlock1D(out_ch, name=f"up_res_{i}")(h, m, t_emb)
             for j in range(self.n_blocks):
-                h = BasicTransformerBlock(
-                    out_ch,
-                    self.num_heads,
-                    self.attention_head_dim,
-                    self.dropout,
-                    name=f"up_tf_{i}_{j}",
-                )(h, m[..., 0] > 0, train=train)
+                h = self._block(self.up_block_type, out_ch, f"up_tf_{i}_{j}")(
+                    h, m[..., 0] > 0, train=train
+                )
             if not is_last:
                 # ConvTranspose1d(4, stride 2, pad 1): exact torch geometry
                 import jax
@@ -230,7 +324,7 @@ class UNetDecoder(nn.Module):
                 )
                 h = (
                     jax.lax.conv_general_dilated(
-                        h * m,
+                        (h * m).astype(kernel.dtype),
                         kernel,
                         window_strides=(1,),
                         padding=[(2, 2)],

@@ -49,6 +49,9 @@ class CFM(nn.Module):
             n_blocks=p.get("n_blocks", 1),
             num_mid_blocks=p.get("num_mid_blocks", 2),
             num_heads=p.get("num_heads", 2),
+            down_block_type=p.get("down_block_type", "transformer"),
+            mid_block_type=p.get("mid_block_type", "transformer"),
+            up_block_type=p.get("up_block_type", "transformer"),
         )
 
     def __call__(
@@ -78,18 +81,19 @@ class CFM(nn.Module):
         temperature: float = 0.0,
         spks: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
-        """Fixed-Euler ODE from noise to mel as a lax.scan."""
+        """Fixed-Euler ODE from noise to mel.
+
+        The loop is unrolled in Python: `n_timesteps` is static and small
+        (10 at serving), and a bound flax submodule called inside a raw
+        `lax.scan` body leaks tracers on re-trace (flax caches call
+        intermediates outside the scan scope)."""
         rng = self.make_rng("noise")
         z = jax.random.normal(rng, mu.shape, dtype=mu.dtype) * temperature
         dt = 1.0 / n_timesteps
-        est = self.estimator
-
-        def step(x, i):
+        x = z
+        for i in range(n_timesteps):
             t = jnp.full((mu.shape[0],), i * dt, mu.dtype)
-            dphi = est(x, mask, mu, t, spks, train=False)
-            return x + dt * dphi, None
-
-        x, _ = jax.lax.scan(step, z, jnp.arange(n_timesteps))
+            x = x + dt * self.estimator(x, mask, mu, t, spks, train=False)
         return x
 
 
