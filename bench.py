@@ -239,9 +239,171 @@ def bench_jets_tpu():
     }
 
 
+def _honest_time(fn, *args, n_iters=8):
+    """min sec/call with true host-sync (block_until_ready lies here)."""
+    out = fn(*args)
+    float(jax_sum(out))
+    out = fn(*args)
+    float(jax_sum(out))
+    times = []
+    for _ in range(n_iters):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        float(jax_sum(out))
+        times.append(time.perf_counter() - t0)
+    return min(times)
+
+
+def jax_sum(out):
+    import jax.numpy as jnp
+
+    leaf = out[0] if isinstance(out, tuple) else out
+    return jnp.sum(leaf)
+
+
+def bench_two_stage_tpu():
+    """Config 2: FS2 conformer mel -> HiFi-GAN waveform, one fused graph."""
+    import jax
+    import jax.numpy as jnp
+
+    from viet_tts_tpu.config import build_config, derive_task_config
+    from viet_tts_tpu.models.fastspeech2 import FastSpeech2
+    from viet_tts_tpu.models.hifigan import HiFiGANGenerator
+    from viet_tts_tpu.text import NUM_SYMBOLS
+    from viet_tts_tpu.train.state import init_on_cpu
+
+    conf = derive_task_config(build_config(os.path.join(REPO, "config")), "fastspeech2")
+    stats = {
+        "pitch": {"min": -3.0, "max": 8.0, "mean": 0.0, "std": 1.0},
+        "energy": {"min": -3.0, "max": 8.0, "mean": 0.0, "std": 1.0},
+    }
+    acoustic = FastSpeech2(
+        n_symbols=NUM_SYMBOLS, n_channels=80,
+        hparams=conf["models"]["fastspeech2"], stats=stats, n_speakers=2,
+    )
+    vocoder = HiFiGANGenerator()
+
+    rng = np.random.RandomState(0)
+    key = jax.random.PRNGKey(0)
+    text = jnp.asarray(rng.randint(1, NUM_SYMBOLS, (B, T_TEXT)).astype(np.int32))
+    lens = jnp.asarray(np.full(B, T_TEXT, np.int32))
+    feats = jnp.asarray(rng.randn(B, T_MEL, 80).astype(np.float32))
+    sids = jnp.zeros(B, jnp.int32)
+    aids = jnp.zeros(B, jnp.int32)
+    av = init_on_cpu(
+        acoustic.init, {"params": key, "dropout": key, "reparam": key},
+        sids, text, lens, T_MEL, feats=feats, aids=aids,
+        method=acoustic.inference,
+    )
+    vv = init_on_cpu(vocoder.init, key, feats)
+
+    @jax.jit
+    def synth(av, vv, sids, text, lens, feats, aids):
+        mel, mel_lens, _ = acoustic.apply(
+            av, sids, text, lens, T_MEL, feats=feats, aids=aids,
+            method=acoustic.inference,
+        )
+        return vocoder.apply(vv, mel)[..., 0], mel_lens
+
+    dt = _honest_time(synth, av, vv, sids, text, lens, feats, aids)
+    return {"sec_per_batch": dt, "rtf": dt / (B * T_MEL * HOP / SR)}
+
+
+def bench_matcha_tpu(n_timesteps=10):
+    """Config 4: Matcha CFM Euler ODE sampling."""
+    import jax
+    import jax.numpy as jnp
+
+    from viet_tts_tpu.config import build_config, derive_task_config
+    from viet_tts_tpu.models.matcha import MatchaTTS
+    from viet_tts_tpu.text import NUM_SYMBOLS
+    from viet_tts_tpu.train.state import init_on_cpu
+
+    conf = derive_task_config(build_config(os.path.join(REPO, "config")), "matcha")
+    model = MatchaTTS(
+        n_symbols=NUM_SYMBOLS, n_channels=80,
+        hparams=conf["models"]["matcha"],
+        stats={"mel_mean": 0.0, "mel_std": 1.0}, n_speakers=2,
+    )
+    rng = np.random.RandomState(0)
+    key = jax.random.PRNGKey(0)
+    text = jnp.asarray(rng.randint(1, NUM_SYMBOLS, (B, T_TEXT)).astype(np.int32))
+    lens = jnp.asarray(np.full(B, T_TEXT, np.int32))
+    feats = jnp.asarray(rng.randn(B, T_MEL, 80).astype(np.float32))
+    sids = jnp.zeros(B, jnp.int32)
+    aids = jnp.zeros(B, jnp.int32)
+    rngs = {"params": key, "dropout": key, "reparam": key, "noise": key}
+    v = init_on_cpu(
+        model.init, rngs, sids, text, lens, T_MEL, feats=feats, aids=aids,
+        n_timesteps=n_timesteps, method=model.inference,
+    )
+
+    @jax.jit
+    def synth(v, sids, text, lens, feats, aids):
+        return model.apply(
+            v, sids, text, lens, T_MEL, feats=feats, aids=aids,
+            n_timesteps=n_timesteps, method=model.inference,
+            rngs={"noise": jax.random.PRNGKey(0)},
+        )
+
+    dt = _honest_time(synth, v, sids, text, lens, feats, aids)
+    return {"sec_per_batch": dt, "rtf": dt / (B * T_MEL * HOP / SR)}
+
+
+def bench_vits2_tpu():
+    """Config 5: VITS2 end-to-end flows + SDP."""
+    import jax
+    import jax.numpy as jnp
+
+    from viet_tts_tpu.config import build_config, derive_task_config
+    from viet_tts_tpu.models.vits2 import VITS2
+    from viet_tts_tpu.text import NUM_SYMBOLS
+    from viet_tts_tpu.train.state import init_on_cpu
+
+    conf = derive_task_config(build_config(os.path.join(REPO, "config")), "vits2")
+    model = VITS2(
+        n_symbols=NUM_SYMBOLS, hparams=conf["models"]["vits2"],
+        n_speakers=2, spec_channels=80,
+    )
+    rng = np.random.RandomState(0)
+    key = jax.random.PRNGKey(0)
+    text = jnp.asarray(rng.randint(1, NUM_SYMBOLS, (B, 2 * T_TEXT + 1)).astype(np.int32))
+    lens = jnp.asarray(np.full(B, 2 * T_TEXT + 1, np.int32))
+    sids = jnp.zeros(B, jnp.int32)
+    v = init_on_cpu(
+        model.init,
+        {"params": key, "dropout": key, "noise": key, "segment": key},
+        sids, text, lens, T_MEL, method=model.inference,
+    )
+
+    @jax.jit
+    def synth(v, sids, text, lens):
+        return model.apply(
+            v, sids, text, lens, T_MEL, method=model.inference,
+            rngs={"noise": jax.random.PRNGKey(0)},
+        )
+
+    dt = _honest_time(synth, v, sids, text, lens)
+    return {"sec_per_batch": dt, "rtf": dt / (B * T_MEL * HOP / SR)}
+
+
 def main():
+    import sys
+
+    def note(msg):
+        print(msg, file=sys.stderr, flush=True)
+
+    note("bench: jets")
     jets = bench_jets_tpu()
+    note("bench: fs2")
     fs2 = bench_tpu()
+    note("bench: two_stage")
+    two_stage = bench_two_stage_tpu()
+    note("bench: matcha")
+    matcha = bench_matcha_tpu()
+    note("bench: vits2")
+    vits2 = bench_vits2_tpu()
+    note("bench: torch cpu")
     cpu = bench_torch_cpu()
     speedup = cpu["sec_per_batch"] / fs2["sec_per_batch"]
     result = {
@@ -253,6 +415,9 @@ def main():
         "jets_mel_frames_per_sec": round(jets["mel_frames_per_sec"], 1),
         "fs2_mel_frames_per_sec": round(fs2["mel_frames_per_sec"], 1),
         "rtf_fs2_mel": round(fs2["rtf"], 6),
+        "rtf_fs2_hifigan_two_stage": round(two_stage["rtf"], 6),
+        "rtf_matcha_ode10": round(matcha["rtf"], 6),
+        "rtf_vits2_e2e": round(vits2["rtf"], 6),
         "sec_per_batch_torch_cpu_fs2": round(cpu["sec_per_batch"], 5),
         "platform": jets["platform"],
     }

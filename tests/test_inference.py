@@ -118,3 +118,20 @@ def test_one_stage_vits2(tmp_path):
     waves = tts(["xin chào các bạn"], speaker="hn_spk")
     assert len(waves) == 1
     assert waves[0].ndim == 1 and np.isfinite(waves[0]).all()
+
+
+def test_two_stage_half_precision(trained_ckpts):
+    from viet_tts_tpu.infer.api import TwoStageTTS
+
+    ac_out, voc_out = trained_ckpts
+    tts = TwoStageTTS(ac_out, voc_out, max_mel_frames=256, half=True)
+    import jax
+    import jax.numpy as jnp
+
+    leaves = jax.tree_util.tree_leaves(tts.vocoder_vars)
+    assert all(
+        l.dtype == jnp.bfloat16 for l in leaves if jnp.issubdtype(l.dtype, jnp.floating)
+    )
+    waves = tts(["xin chào các bạn"], speaker="hn_spk", accent="hn")
+    assert waves[0].dtype == np.float32
+    assert np.isfinite(waves[0]).all() and (np.abs(waves[0]) <= 1.0).all()

@@ -53,6 +53,22 @@ def resolve_checkpoint(path: str, prefix: str = "generator") -> str:
     return path
 
 
+def cast_floating(tree, dtype):
+    """Cast every floating leaf of a pytree (bf16 serving mode: the MXU
+    runs bf16 matmuls at 2x the fp32 rate and HBM traffic halves)."""
+    import jax
+    import jax.numpy as jnp
+
+    return jax.tree_util.tree_map(
+        lambda x: (
+            x.astype(dtype)
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+            else x
+        ),
+        tree,
+    )
+
+
 DEFAULT_STATS = {
     "pitch": {"min": -3.0, "max": 8.0, "mean": 0.0, "std": 1.0},
     "energy": {"min": -3.0, "max": 8.0, "mean": 0.0, "std": 1.0},
@@ -164,6 +180,7 @@ class TwoStageTTS(_TTSBase):
         vocoder_path: str,
         model_type: str = "FASTSPEECH2",
         max_mel_frames: int = 1008,
+        half: bool = False,
     ):
         import jax
 
@@ -210,6 +227,12 @@ class TwoStageTTS(_TTSBase):
         )
 
         self._load_weights(acoustic_ckpt, vocoder_ckpt)
+        self.half = half
+        if half:
+            import jax.numpy as jnp
+
+            self.acoustic_vars = cast_floating(self.acoustic_vars, jnp.bfloat16)
+            self.vocoder_vars = cast_floating(self.vocoder_vars, jnp.bfloat16)
         # variables passed as jit args (NOT closure constants — closing over
         # the parameter pytree would bake it into the HLO as literals)
         self._synth = jax.jit(
@@ -265,6 +288,8 @@ class TwoStageTTS(_TTSBase):
         self, acoustic_vars, vocoder_vars, ids, lens, sids, aids, feats,
         d_control=1.0, p_control=1.0, e_control=1.0,
     ):
+        import jax
+
         mel, mel_lens, _ = self.acoustic.apply(
             acoustic_vars,
             sids,
@@ -277,6 +302,7 @@ class TwoStageTTS(_TTSBase):
             p_control=p_control,
             e_control=e_control,
             method=self.acoustic.inference,
+            rngs={"noise": jax.random.PRNGKey(0)},  # Matcha ODE start noise
         )
         wav = self.vocoder.apply(vocoder_vars, mel)
         return mel, mel_lens, wav[..., 0]
@@ -300,20 +326,22 @@ class TwoStageTTS(_TTSBase):
         aid = self.accents.get(accent, accent if isinstance(accent, int) else 0)
         sids = jnp.full((B,), int(sid), jnp.int32)
         aids = jnp.full((B,), int(aid), jnp.int32)
+        dt = jnp.bfloat16 if self.half else jnp.float32
         if reference_mel is None:
-            feats = jnp.zeros((B, 64, self.conf["audio"]["mel"]["channels"]))
+            feats = jnp.zeros((B, 64, self.conf["audio"]["mel"]["channels"]), dt)
         else:
             feats = jnp.asarray(
                 np.broadcast_to(
                     reference_mel[None], (B, *reference_mel.shape)
-                ).copy()
+                ).copy(),
+                dt,
             )
         _, mel_lens, wav = self._synth(
             self.acoustic_vars, self.vocoder_vars,
             jnp.asarray(ids), jnp.asarray(lens), sids, aids, feats,
             d_control=d_control, p_control=p_control, e_control=e_control,
         )
-        wav = np.asarray(wav)
+        wav = np.asarray(wav, np.float32)
         mel_lens = np.asarray(mel_lens)
         return [wav[i, : int(mel_lens[i]) * self.hop] for i in range(B)]
 
@@ -322,7 +350,7 @@ class OneStageTTS(_TTSBase):
     """Fused text->waveform models (JETS / VITS2 / Text2Wav)."""
 
     def __init__(self, checkpoint_path: str, model_type: str = "JETS",
-                 max_mel_frames: int = 1008):
+                 max_mel_frames: int = 1008, half: bool = False):
         import jax
 
         self.model_type = model_type.lower()
@@ -399,6 +427,9 @@ class OneStageTTS(_TTSBase):
             self.variables["batch_stats"] = payload.get(
                 "batch_stats", jax.device_get(model_vars["batch_stats"])
             )
+        self.half = half
+        if half:
+            self.variables = cast_floating(self.variables, jnp.bfloat16)
 
         def _synth(variables, ids, lens, sids):
             return self.model.apply(
@@ -422,7 +453,7 @@ class OneStageTTS(_TTSBase):
         wav, wav_lens = self._synth(
             self.variables, jnp.asarray(ids), jnp.asarray(lens), sids
         )
-        wav, wav_lens = np.asarray(wav), np.asarray(wav_lens)
+        wav, wav_lens = np.asarray(wav, np.float32), np.asarray(wav_lens)
         return [wav[i, : int(wav_lens[i])] for i in range(len(texts))]
 
 

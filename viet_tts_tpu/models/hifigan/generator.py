@@ -81,6 +81,7 @@ class WNConvTranspose1d(nn.Module):
         else:
             kernel = v
         b = self.param("bias", nn.initializers.zeros, (self.features,))
+        x = x.astype(kernel.dtype)  # params dictate compute dtype (bf16 serving)
         y = jax.lax.conv_general_dilated(
             x,
             kernel,
