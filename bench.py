@@ -228,10 +228,17 @@ def bench_jets_tpu():
         times.append(time.perf_counter() - t0)
     dt = min(times)
 
+    # bf16 serving mode (half=True in the API)
+    from viet_tts_tpu.infer.api import cast_floating
+
+    v16 = cast_floating(variables, jnp.bfloat16)
+    dt16 = _honest_time(synth, v16, sids, text, text_lens)
+
     samples = B * T_MEL * HOP  # static budget (see mel bench note)
     audio_seconds = samples / SR
     return {
         "sec_per_batch": dt,
+        "rtf_bf16": dt16 / audio_seconds,
         "samples_per_sec": samples / dt,
         "mel_frames_per_sec": samples / HOP / dt,
         "rtf": dt / max(audio_seconds, 1e-9),
@@ -412,6 +419,7 @@ def main():
         "unit": "samples/sec",
         "vs_baseline": round(speedup, 2),
         "rtf_jets": round(jets["rtf"], 6),
+        "rtf_jets_bf16": round(jets["rtf_bf16"], 6),
         "jets_mel_frames_per_sec": round(jets["mel_frames_per_sec"], 1),
         "fs2_mel_frames_per_sec": round(fs2["mel_frames_per_sec"], 1),
         "rtf_fs2_mel": round(fs2["rtf"], 6),

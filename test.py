@@ -35,6 +35,10 @@ def build_arguments():
                    help="file with one sentence per line")
     p.add_argument("--speaker", type=str, default="0")
     p.add_argument("--accent", type=str, default="0")
+    p.add_argument("--half", action="store_true",
+                   help="serve in bfloat16 (MXU-rate matmuls)")
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard the batch over all visible devices")
     p.add_argument("--d_control", type=float, default=1.0)
     p.add_argument("--p_control", type=float, default=1.0)
     p.add_argument("--e_control", type=float, default=1.0)
@@ -64,6 +68,8 @@ def main():
             args.acoustic_checkpoint,
             args.vocoder_checkpoint,
             model_type=args.model_type,
+            half=args.half,
+            data_parallel=args.data_parallel,
         )
         waves = nnet(
             texts,
@@ -75,7 +81,12 @@ def main():
         )
     else:
         assert args.checkpoint, "one-stage synthesis needs -c checkpoint"
-        nnet = OneStageTTS(args.checkpoint, model_type=args.model_type)
+        nnet = OneStageTTS(
+            args.checkpoint,
+            model_type=args.model_type,
+            half=args.half,
+            data_parallel=args.data_parallel,
+        )
         waves = nnet(texts, speaker=speaker)
     load_and_synth = time.time() - t0
 

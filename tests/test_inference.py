@@ -135,3 +135,27 @@ def test_two_stage_half_precision(trained_ckpts):
     waves = tts(["xin chào các bạn"], speaker="hn_spk", accent="hn")
     assert waves[0].dtype == np.float32
     assert np.isfinite(waves[0]).all() and (np.abs(waves[0]) <= 1.0).all()
+
+
+def test_two_stage_data_parallel(trained_ckpts):
+    """Batch sharded over the 8-device CPU mesh; weights replicated."""
+    import jax
+
+    from viet_tts_tpu.infer.api import TwoStageTTS
+
+    ac_out, voc_out = trained_ckpts
+    tts = TwoStageTTS(ac_out, voc_out, max_mel_frames=256, data_parallel=True)
+    assert tts.mesh is not None and tts.mesh.devices.size == len(jax.devices())
+    # 3 texts -> padded to 8 internally, sliced back to 3
+    waves = tts(
+        ["xin chào các bạn", "hôm nay trời đẹp", "chúng ta đi chơi"],
+        speaker="hn_spk",
+        accent="hn",
+    )
+    assert len(waves) == 3
+    for w in waves:
+        assert np.isfinite(w).all()
+    # matches the unsharded result
+    ref = TwoStageTTS(ac_out, voc_out, max_mel_frames=256)
+    ref_waves = ref(["xin chào các bạn"], speaker="hn_spk", accent="hn")
+    np.testing.assert_allclose(waves[0], ref_waves[0], atol=2e-5)

@@ -91,3 +91,35 @@ def test_bucket_batcher_static_shapes(workdir):
         assert batch["text"].shape[0] == 4  # always full batch
         assert batch["feats"].shape[1] in (128, 256, 384, 512, 640, 768, 896, 1008)
     assert len(shapes) <= 4  # few compile shapes
+
+
+def test_apply_init_scheme():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from viet_tts_tpu.train.state import apply_init_scheme
+
+    params = {
+        "enc": {
+            "dense": {"kernel": jnp.ones((8, 16)), "bias": jnp.ones((16,))},
+            "norm": {"scale": jnp.full((16,), 2.0)},
+        },
+        "embed_tokens": {"embedding": jnp.full((10, 8), 3.0)},
+    }
+    out = apply_init_scheme(params, "xavier_uniform", jax.random.PRNGKey(0))
+    k = np.asarray(out["enc"]["dense"]["kernel"])
+    assert not np.allclose(k, 1.0)  # re-drawn
+    bound = np.sqrt(6.0 / (8 + 16))
+    assert np.abs(k).max() <= bound + 1e-6  # xavier-uniform range
+    assert np.all(np.asarray(out["enc"]["dense"]["bias"]) == 0.0)
+    # embeddings and norm scales untouched
+    assert np.all(np.asarray(out["embed_tokens"]["embedding"]) == 3.0)
+    assert np.all(np.asarray(out["enc"]["norm"]["scale"]) == 2.0)
+    # pytorch scheme is identity
+    same = apply_init_scheme(params, "pytorch", jax.random.PRNGKey(0))
+    assert np.all(np.asarray(same["enc"]["dense"]["kernel"]) == 1.0)
+    import pytest
+
+    with pytest.raises(ValueError):
+        apply_init_scheme(params, "bogus", jax.random.PRNGKey(0))

@@ -181,6 +181,7 @@ class TwoStageTTS(_TTSBase):
         model_type: str = "FASTSPEECH2",
         max_mel_frames: int = 1008,
         half: bool = False,
+        data_parallel: bool = False,
     ):
         import jax
 
@@ -233,6 +234,17 @@ class TwoStageTTS(_TTSBase):
 
             self.acoustic_vars = cast_floating(self.acoustic_vars, jnp.bfloat16)
             self.vocoder_vars = cast_floating(self.vocoder_vars, jnp.bfloat16)
+        # data-parallel serving: replicate weights, shard the batch axis;
+        # XLA runs the same jitted graph SPMD over the mesh (no code change
+        # in the model -- sharding is operand placement only)
+        self.mesh = None
+        if data_parallel and len(jax.devices()) > 1:
+            from viet_tts_tpu.parallel import make_mesh, replicated
+
+            self.mesh = make_mesh()
+            rep = replicated(self.mesh)
+            self.acoustic_vars = jax.device_put(self.acoustic_vars, rep)
+            self.vocoder_vars = jax.device_put(self.vocoder_vars, rep)
         # variables passed as jit args (NOT closure constants — closing over
         # the parameter pytree would bake it into the HLO as literals)
         self._synth = jax.jit(
@@ -336,9 +348,15 @@ class TwoStageTTS(_TTSBase):
                 ).copy(),
                 dt,
             )
+        inputs = (jnp.asarray(ids), jnp.asarray(lens), sids, aids, feats)
+        if self.mesh is not None:
+            from viet_tts_tpu.parallel import pad_batch_to_devices, shard_batch
+
+            inputs = shard_batch(
+                self.mesh, pad_batch_to_devices(inputs, self.mesh.devices.size)
+            )
         _, mel_lens, wav = self._synth(
-            self.acoustic_vars, self.vocoder_vars,
-            jnp.asarray(ids), jnp.asarray(lens), sids, aids, feats,
+            self.acoustic_vars, self.vocoder_vars, *inputs,
             d_control=d_control, p_control=p_control, e_control=e_control,
         )
         wav = np.asarray(wav, np.float32)
@@ -350,7 +368,8 @@ class OneStageTTS(_TTSBase):
     """Fused text->waveform models (JETS / VITS2 / Text2Wav)."""
 
     def __init__(self, checkpoint_path: str, model_type: str = "JETS",
-                 max_mel_frames: int = 1008, half: bool = False):
+                 max_mel_frames: int = 1008, half: bool = False,
+                 data_parallel: bool = False):
         import jax
 
         self.model_type = model_type.lower()
@@ -430,6 +449,12 @@ class OneStageTTS(_TTSBase):
         self.half = half
         if half:
             self.variables = cast_floating(self.variables, jnp.bfloat16)
+        self.mesh = None
+        if data_parallel and len(jax.devices()) > 1:
+            from viet_tts_tpu.parallel import make_mesh, replicated
+
+            self.mesh = make_mesh()
+            self.variables = jax.device_put(self.variables, replicated(self.mesh))
 
         def _synth(variables, ids, lens, sids):
             return self.model.apply(
@@ -450,9 +475,14 @@ class OneStageTTS(_TTSBase):
         ids, lens, _ = self.encode_texts(texts)
         sid = self.speakers.get(speaker, speaker if isinstance(speaker, int) else 0)
         sids = jnp.full((len(texts),), int(sid), jnp.int32)
-        wav, wav_lens = self._synth(
-            self.variables, jnp.asarray(ids), jnp.asarray(lens), sids
-        )
+        inputs = (jnp.asarray(ids), jnp.asarray(lens), sids)
+        if self.mesh is not None:
+            from viet_tts_tpu.parallel import pad_batch_to_devices, shard_batch
+
+            inputs = shard_batch(
+                self.mesh, pad_batch_to_devices(inputs, self.mesh.devices.size)
+            )
+        wav, wav_lens = self._synth(self.variables, *inputs)
         wav, wav_lens = np.asarray(wav, np.float32), np.asarray(wav_lens)
         return [wav[i, : int(wav_lens[i])] for i in range(len(texts))]
 

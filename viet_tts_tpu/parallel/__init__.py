@@ -1,1 +1,23 @@
-"""parallel subpackage."""
+"""Device mesh + sharding (data-parallel training and serving)."""
+
+from viet_tts_tpu.parallel.mesh import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    data_sharded,
+    make_mesh,
+    pad_batch_to_devices,
+    replicated,
+    shard_batch,
+    shard_train_step,
+)
+
+__all__ = [
+    "DATA_AXIS",
+    "MODEL_AXIS",
+    "data_sharded",
+    "make_mesh",
+    "pad_batch_to_devices",
+    "replicated",
+    "shard_batch",
+    "shard_train_step",
+]

@@ -436,6 +436,14 @@ class JETSTrainer(BaseTrainer):
             sids=batch["sids"],
             train=True,
         )
+        init_type = self.model.hparams.get("init_type", "pytorch")
+        if init_type != "pytorch":
+            from viet_tts_tpu.train.state import apply_init_scheme
+
+            self.gen_variables = dict(self.gen_variables)
+            self.gen_variables["params"] = apply_init_scheme(
+                self.gen_variables["params"], init_type, self.rng
+            )
         seg = int(self.model.hparams.get("segment_size", 64)) * self.conf[
             "audio"
         ]["stft"]["hop_length"]

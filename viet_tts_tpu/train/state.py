@@ -76,3 +76,47 @@ def set_learning_rate(state: TrainState, lr: float) -> TrainState:
 
 def exponential_lr(base_lr: float, gamma: float, epoch: int) -> float:
     return float(base_lr * (gamma**epoch))
+
+
+def apply_init_scheme(params, init_type: str, rng):
+    """Re-initialize weight matrices per an espnet-style scheme.
+
+    The reference applies espnet ``initialize(self, init_type)`` after
+    construction (`models/gan_tts/jets/model.py:795-801`; config
+    `model_config.yaml:99` uses xavier_uniform): every parameter with
+    ndim > 1 is re-drawn from the scheme, biases are zeroed; embeddings,
+    norm scales and 1-d parameters keep their defaults here (espnet
+    resets those modules back to their own defaults, which flax init
+    already produced).
+    """
+    import flax
+    import jax.numpy as jnp
+    from jax.nn import initializers as jinit
+
+    schemes = {
+        "xavier_uniform": jinit.xavier_uniform(),
+        "xavier_normal": jinit.xavier_normal(),
+        "kaiming_uniform": jinit.kaiming_uniform(),
+        "kaiming_normal": jinit.kaiming_normal(),
+    }
+    if init_type in ("pytorch", None):
+        return params
+    if init_type not in schemes:
+        raise ValueError(f"unknown init_type {init_type!r}")
+    init_fn = schemes[init_type]
+
+    flat = flax.traverse_util.flatten_dict(params)
+    out = {}
+    keys = jax.random.split(rng, max(len(flat), 1))
+    for i, (path, leaf) in enumerate(sorted(flat.items())):
+        name = path[-1]
+        is_embed = any("embed" in p.lower() for p in path[:-1]) and name == "embedding"
+        if leaf.ndim > 1 and not is_embed and name != "rel_pos_emb":
+            # xavier fan-in/out over the last two axes matches torch's view
+            # of (out, in, *k) closely enough for conv kernels in (k, in, out)
+            out[path] = init_fn(keys[i], leaf.shape, leaf.dtype)
+        elif name == "bias":
+            out[path] = jnp.zeros_like(leaf)
+        else:
+            out[path] = leaf
+    return flax.traverse_util.unflatten_dict(out)

@@ -180,6 +180,7 @@ class BaseTrainer:
             t0 = time.time()
             self.train_one_epoch()
             self.valid_one_epoch()
+            self._log_histograms()
             self.save_model()
             log.info(
                 f"Epoch {self.epoch} done in {time.time() - t0:.1f}s "
@@ -187,6 +188,16 @@ class BaseTrainer:
             )
             self.epoch += 1
         log.info("training complete")
+
+    def _log_histograms(self):
+        state = getattr(self, "state", None) or getattr(self, "gen_state", None)
+        logger = getattr(self, "valid_logger", None)
+        if state is None or logger is None:
+            return
+        try:
+            logger.log_histograms(state.params, self.iter)
+        except Exception as exc:  # histograms are best-effort observability
+            log.warning(f"histogram logging failed: {exc}")
 
     def train_one_epoch(self):
         raise NotImplementedError

@@ -45,6 +45,19 @@ class TensorLogger:
         if lr is not None:
             self.writer.add_scalar("learning_rate", float(lr), step)
 
+    def log_histograms(self, params, step: int) -> None:
+        """Full parameter histograms (reference logs these each validation,
+        `log/logger.py:16-36`)."""
+        import jax
+        import numpy as np
+
+        flat = jax.tree_util.tree_leaves_with_path(params)
+        for path, leaf in flat:
+            name = "/".join(
+                getattr(p, "key", getattr(p, "name", str(p))) for p in path
+            )
+            self.writer.add_histogram(name, np.asarray(leaf).ravel(), step)
+
     def close(self):
         self.writer.close()
 
