@@ -76,3 +76,270 @@ def test_hifigan_import_bitwise_parity():
     )[..., 0][:, None]
     assert out.shape == ref.shape
     np.testing.assert_allclose(out, ref, atol=2e-6)
+
+
+# ---------------------------------------------------------------------------
+# FastSpeech2 import parity
+# ---------------------------------------------------------------------------
+
+FS2_HP = {
+    "max_seq_len": 1000,
+    "encoder_layers": 2,
+    "encoder_hidden": 32,
+    "decoder_layers": 2,
+    "decoder_hidden": 32,
+    "use_cvae": False,
+    "use_postnet": True,
+    "building_block": {
+        "block_type": "transformer",
+        "transformer": {
+            "encoder_head": 2,
+            "decoder_head": 2,
+            "conv_filter_size": 64,
+            "conv_kernel_size": [9, 1],
+            "encoder_dropout": 0.2,
+            "decoder_dropout": 0.2,
+        },
+    },
+    "variance": {
+        "learn_alignment": False,
+        "duration_modelling": {
+            "use_gaussian": True,
+            "aligner_temperature": 0.0005,
+            "binarization_start_steps": 6000,
+        },
+        "variance_predictor": {
+            "filter_size": 16,
+            "kernel_size": 3,
+            "dropout": 0.5,
+            "dur_predictor_layers": 2,
+            "dur_predictor_kernel": 3,
+            "pit_predictor_layers": 2,
+            "pit_predictor_kernel": 5,
+            "ener_predictor_layers": 2,
+            "ener_predictor_kernel": 5,
+            "ffn_padding": "SAME",
+            "ffn_act": "gelu",
+        },
+        "variance_embedding": {
+            "n_bins": 16,
+            "pitch_feature": "phoneme_level",
+            "pitch_quantization": "linear",
+            "energy_feature": "phoneme_level",
+            "energy_quantization": "linear",
+        },
+    },
+    "postnet": {"embedding_dim": 16, "conv_layers": 5, "kernel_size": 5},
+}
+FS2_STATS = {
+    "pitch": {"min": -3.0, "max": 8.0, "mean": 0.0, "std": 1.0},
+    "energy": {"min": -3.0, "max": 8.0, "mean": 0.0, "std": 1.0},
+}
+
+
+def _stub_fs2_deps():
+    """Stub numba + espnet bits the reference FS2 pulls in at import time."""
+    import torch
+    import torch.nn as tnn
+
+    _stub_reference_deps()
+    numba = types.ModuleType("numba")
+    numba.jit = lambda *a, **k: (a[0] if a and callable(a[0]) else (lambda f: f))
+    numba.prange = range
+    sys.modules.setdefault("numba", numba)
+    gst = types.ModuleType("espnet2.tts.gst.style_encoder")
+    gst.ReferenceEncoder = tnn.Module
+    for name in ["espnet2.tts.gst"]:
+        sys.modules.setdefault(name, types.ModuleType(name))
+    sys.modules.setdefault("espnet2.tts.gst.style_encoder", gst)
+    nets_utils = types.ModuleType("espnet.nets.pytorch_backend.nets_utils")
+
+    def pad_list(xs, pad_value):
+        n = len(xs)
+        maxlen = max(x.size(0) for x in xs)
+        out = xs[0].new_full((n, maxlen, *xs[0].size()[1:]), pad_value)
+        for i, x in enumerate(xs):
+            out[i, : x.size(0)] = x
+        return out
+
+    nets_utils.pad_list = pad_list
+    for name in ["espnet", "espnet.nets", "espnet.nets.pytorch_backend"]:
+        sys.modules.setdefault(name, types.ModuleType(name))
+    sys.modules.setdefault("espnet.nets.pytorch_backend.nets_utils", nets_utils)
+
+
+def _load_reference_fs2():
+    _stub_fs2_deps()
+    sys.path.insert(0, str(REFERENCE))
+    try:
+        from models.tts.fastspeech2.model import FastSpeech2 as TorchFS2
+    finally:
+        sys.path.remove(str(REFERENCE))
+    return TorchFS2
+
+
+def _fs2_pair(hp, seed=0):
+    """(torch model in eval, flax model, imported variables)."""
+    import copy
+    import torch
+
+    from viet_tts_tpu.models.fastspeech2 import FastSpeech2
+    from viet_tts_tpu.train.torch_import import import_fastspeech2
+
+    TorchFS2 = _load_reference_fs2()
+    torch.manual_seed(seed)
+    tm = TorchFS2(
+        n_symbols=130, n_channels=80, hparams=copy.deepcopy(hp),
+        stats=copy.deepcopy(FS2_STATS), n_speakers=3,
+    ).eval()
+    fm = FastSpeech2(
+        n_symbols=130, n_channels=80, hparams=copy.deepcopy(hp),
+        stats=copy.deepcopy(FS2_STATS), n_speakers=3,
+    )
+    variables = import_fastspeech2(tm.state_dict(), hp)
+    return tm, fm, variables
+
+
+@pytest.mark.skipif(not REFERENCE.exists(), reason="reference not mounted")
+def test_fastspeech2_transformer_import_tree_matches_init():
+    import jax
+    import jax.numpy as jnp
+    from flax import traverse_util
+
+    tm, fm, variables = _fs2_pair(FS2_HP)
+    rng = np.random.RandomState(0)
+    B, T_text, T_mel = 2, 11, 40
+    key = jax.random.PRNGKey(0)
+    init = fm.init(
+        {"params": key, "dropout": key},
+        text=jnp.asarray(rng.randint(1, 130, (B, T_text))),
+        text_lengths=jnp.asarray([T_text, 8]),
+        feats=jnp.asarray(rng.randn(B, T_mel, 80), jnp.float32),
+        feats_lengths=jnp.asarray([T_mel, 30]),
+        duration=jnp.asarray(rng.randint(1, 5, (B, T_text)), jnp.float32),
+        pitch=jnp.asarray(rng.randn(B, T_mel), jnp.float32),
+        energy=jnp.asarray(rng.randn(B, T_mel), jnp.float32),
+        sids=jnp.asarray([0, 1]),
+        train=False,
+    )
+    got = set(traverse_util.flatten_dict(variables["params"]))
+    want = set(traverse_util.flatten_dict(init["params"]))
+    assert got == want, (sorted(want - got)[:8], sorted(got - want)[:8])
+    got_bs = set(traverse_util.flatten_dict(variables["batch_stats"]))
+    want_bs = set(traverse_util.flatten_dict(init["batch_stats"]))
+    assert got_bs == want_bs
+
+
+def _fs2_teacher_forced_check(hp, atol=2e-4):
+    import torch
+    import jax.numpy as jnp
+
+    tm, fm, variables = _fs2_pair(hp)
+    rng = np.random.RandomState(1)
+    B, T_text = 2, 11
+    text = rng.randint(1, 130, (B, T_text))
+    text[1, 8:] = 0
+    text_lens = np.asarray([T_text, 8])
+    # durations summing exactly to feats lengths
+    dur = rng.randint(1, 5, (B, T_text))
+    dur[1, 8:] = 0
+    feats_lens = dur.sum(1)
+    T_mel = int(feats_lens.max())
+    feats = rng.randn(B, T_mel, 80).astype(np.float32)
+    pitch = rng.randn(B, T_mel).astype(np.float32)
+    energy = rng.randn(B, T_mel).astype(np.float32)
+    sids = np.asarray([0, 2])
+
+    with torch.no_grad():
+        # NOTE: .copy() matters — the reference's frame2phoneme
+        # (`function.py:186-197`) averages IN PLACE through the numpy view,
+        # so the torch forward would otherwise corrupt our inputs.
+        (t_outs, t_post, t_logd, t_p, t_e, *_), _ = tm(
+            torch.from_numpy(text).long(),
+            torch.from_numpy(text_lens).long(),
+            torch.from_numpy(feats.copy()),
+            torch.from_numpy(feats_lens).long(),
+            torch.from_numpy(dur).long(),
+            torch.from_numpy(pitch.copy()),
+            torch.from_numpy(energy.copy()),
+            torch.from_numpy(sids).long(),
+            None,
+            0,
+        )
+
+    (j_outs, j_post, j_logd, j_p, j_e, *_), _ = fm.apply(
+        variables,
+        text=jnp.asarray(text),
+        text_lengths=jnp.asarray(text_lens),
+        feats=jnp.asarray(feats),
+        feats_lengths=jnp.asarray(feats_lens),
+        duration=jnp.asarray(dur, jnp.float32),
+        pitch=jnp.asarray(pitch),
+        energy=jnp.asarray(energy),
+        sids=jnp.asarray(sids),
+        train=False,
+    )
+    for b in range(B):
+        lt, lm = int(text_lens[b]), int(feats_lens[b])
+        np.testing.assert_allclose(
+            np.asarray(j_logd)[b, :lt], t_logd.numpy()[b, :lt], atol=atol
+        )
+        np.testing.assert_allclose(
+            np.asarray(j_p)[b, :lt], t_p.numpy()[b, :lt], atol=atol
+        )
+        np.testing.assert_allclose(
+            np.asarray(j_e)[b, :lt], t_e.numpy()[b, :lt], atol=atol
+        )
+        np.testing.assert_allclose(
+            np.asarray(j_outs)[b, :lm], t_outs.numpy()[b, :lm], atol=atol
+        )
+        np.testing.assert_allclose(
+            np.asarray(j_post)[b, :lm], t_post.numpy()[b, :lm], atol=atol
+        )
+
+
+@pytest.mark.skipif(not REFERENCE.exists(), reason="reference not mounted")
+def test_fastspeech2_transformer_teacher_forced_parity():
+    _fs2_teacher_forced_check(FS2_HP)
+
+
+@pytest.mark.skipif(not REFERENCE.exists(), reason="reference not mounted")
+def test_fastspeech2_transformer_inference_parity():
+    import torch
+    import jax.numpy as jnp
+
+    tm, fm, variables = _fs2_pair(FS2_HP)
+    rng = np.random.RandomState(2)
+    B, T_text = 2, 9
+    text = rng.randint(1, 130, (B, T_text))
+    text[1, 6:] = 0
+    text_lens = np.asarray([T_text, 6])
+    sids = np.asarray([1, 2])
+
+    with torch.no_grad():
+        t_mel, t_lens, t_emb = tm.inference(
+            torch.from_numpy(sids).long(),
+            torch.from_numpy(text).long(),
+            torch.from_numpy(text_lens).long(),
+        )
+    t_mel = t_mel.transpose(1, 2).numpy()  # back to (B, T, n_mel)
+
+    # budget == torch's max length: the postnet convs see the same
+    # out-of-range frames (the reference's own outputs depend on batch
+    # padding the same way; with a larger budget only frames within the
+    # postnet receptive field of the boundary differ).
+    j_mel, j_lens, j_emb = fm.apply(
+        variables,
+        sids=jnp.asarray(sids),
+        text=jnp.asarray(text),
+        text_lengths=jnp.asarray(text_lens),
+        max_mel_frames=int(t_lens.max()),
+        method=fm.inference,
+    )
+    np.testing.assert_array_equal(np.asarray(j_lens), t_lens.numpy())
+    np.testing.assert_allclose(np.asarray(j_emb), t_emb.numpy(), atol=1e-5)
+    for b in range(B):
+        L = int(t_lens[b])
+        np.testing.assert_allclose(
+            np.asarray(j_mel)[b, :L], t_mel[b, :L], atol=3e-4
+        )

@@ -160,14 +160,16 @@ class VarianceAdaptor(nn.Module):
             ).astype(jnp.int32)
             mel_pad_mask = pad_mask_from_lengths(mel_lens, max_mel_frames)
 
-        # phoneme-level pitch/energy
+        # phoneme-level pitch/energy: both predictors read the SAME x; the
+        # embeddings are added only afterwards (`layers.py:215-226`)
         pitch_prediction = energy_prediction = None
+        pitch_emb = energy_emb = None
         if self.pitch_feature_level == "phoneme_level":
             if pitch_target is not None:
                 pitch_target = average_by_duration(
                     duration_rounded, pitch_target, txt_lens, mel_lens
                 )
-            pitch_prediction, emb = self._embed_variance(
+            pitch_prediction, pitch_emb = self._embed_variance(
                 self.pitch_predictor,
                 self.pitch_embedding,
                 self.pitch_bins,
@@ -176,13 +178,12 @@ class VarianceAdaptor(nn.Module):
                 p_control,
                 train,
             )
-            x = x + emb
         if self.energy_feature_level == "phoneme_level":
             if energy_target is not None:
                 energy_target = average_by_duration(
                     duration_rounded, energy_target, txt_lens, mel_lens
                 )
-            energy_prediction, emb = self._embed_variance(
+            energy_prediction, energy_emb = self._embed_variance(
                 self.energy_predictor,
                 self.energy_embedding,
                 self.energy_bins,
@@ -191,7 +192,10 @@ class VarianceAdaptor(nn.Module):
                 e_control,
                 train,
             )
-            x = x + emb
+        if pitch_emb is not None:
+            x = x + pitch_emb
+        if energy_emb is not None:
+            x = x + energy_emb
 
         # expand text-rate states to frame rate
         def hard_expand(x):
@@ -213,9 +217,10 @@ class VarianceAdaptor(nn.Module):
         else:
             x = hard_expand(x)
 
-        # frame-level pitch/energy
+        # frame-level pitch/energy (same both-read-then-add ordering)
+        pitch_emb = energy_emb = None
         if self.pitch_feature_level == "frame_level":
-            pitch_prediction, emb = self._embed_variance(
+            pitch_prediction, pitch_emb = self._embed_variance(
                 self.pitch_predictor,
                 self.pitch_embedding,
                 self.pitch_bins,
@@ -224,9 +229,8 @@ class VarianceAdaptor(nn.Module):
                 p_control,
                 train,
             )
-            x = x + emb
         if self.energy_feature_level == "frame_level":
-            energy_prediction, emb = self._embed_variance(
+            energy_prediction, energy_emb = self._embed_variance(
                 self.energy_predictor,
                 self.energy_embedding,
                 self.energy_bins,
@@ -235,7 +239,10 @@ class VarianceAdaptor(nn.Module):
                 e_control,
                 train,
             )
-            x = x + emb
+        if pitch_emb is not None:
+            x = x + pitch_emb
+        if energy_emb is not None:
+            x = x + energy_emb
 
         return (
             x,

