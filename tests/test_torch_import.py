@@ -343,3 +343,31 @@ def test_fastspeech2_transformer_inference_parity():
         np.testing.assert_allclose(
             np.asarray(j_mel)[b, :L], t_mel[b, :L], atol=3e-4
         )
+
+
+def _fs2_conformer_hp():
+    import copy
+
+    hp = copy.deepcopy(FS2_HP)
+    hp["building_block"] = {
+        "block_type": "conformer",
+        "conformer": {
+            "encoder_head": 2,
+            "decoder_head": 2,
+            "ffn_expansion_factor": 4,
+            "conv_kernel_size": 7,
+            "conv_expansion_factor": 2,
+            "half_step_residual": True,
+            "encoder_dropout": 0.1,
+            "decoder_dropout": 0.1,
+        },
+    }
+    return hp
+
+
+@pytest.mark.skipif(not REFERENCE.exists(), reason="reference not mounted")
+def test_fastspeech2_conformer_teacher_forced_parity():
+    # certifies the rel-pos attention stack (u/v biases, relative shift,
+    # sqrt(d_model) scaling, macaron FFNs, GLU conv module) against the
+    # reference's own torch modules under imported weights
+    _fs2_teacher_forced_check(_fs2_conformer_hp(), atol=5e-4)

@@ -125,6 +125,16 @@ class ConformerConvModule(nn.Module):
 
 
 class ConformerBlock(nn.Module):
+    """Macaron conformer block.
+
+    NOTE ``mask_attn_keys``: the reference block
+    (`blocks/conformer.py:252-257`) runs its sub-modules through an
+    ``nn.Sequential`` which silently DROPS the mask, so its self-attention
+    attends to padding keys and only the block output is zeroed. The default
+    False mirrors that (required for imported-weight parity); True enables
+    proper key masking for from-scratch training.
+    """
+
     d_model: int
     num_heads: int = 8
     ffn_expansion: int = 4
@@ -132,6 +142,7 @@ class ConformerBlock(nn.Module):
     kernel_size: int = 31
     half_step_residual: bool = True
     dropout: float = 0.1
+    mask_attn_keys: bool = False
 
     @nn.compact
     def __call__(
@@ -150,7 +161,12 @@ class ConformerBlock(nn.Module):
         attn_in = nn.LayerNorm(name="mhsa_ln")(x)
         attn_out = RelativeMultiHeadAttention(
             self.d_model, self.num_heads, self.dropout, name="mhsa"
-        )(attn_in, pos_emb, pad_mask, train=train)
+        )(
+            attn_in,
+            pos_emb,
+            pad_mask if self.mask_attn_keys else None,
+            train=train,
+        )
         x = x + nn.Dropout(self.dropout)(attn_out, deterministic=not train)
 
         x = x + ConformerConvModule(
@@ -187,6 +203,7 @@ class ConformerEncoder(nn.Module):
     kernel_size: int = 31
     half_step_residual: bool = True
     dropout: float = 0.1
+    mask_attn_keys: bool = False
 
     @nn.compact
     def __call__(
@@ -209,6 +226,7 @@ class ConformerEncoder(nn.Module):
                 self.kernel_size,
                 self.half_step_residual,
                 self.dropout,
+                self.mask_attn_keys,
                 name=f"layer_{i}",
             )(x, pos_emb, pad_mask, train=train)
         return x, emb
@@ -226,6 +244,7 @@ class ConformerDecoder(nn.Module):
     kernel_size: int = 31
     half_step_residual: bool = True
     dropout: float = 0.1
+    mask_attn_keys: bool = False
 
     @nn.compact
     def __call__(
@@ -246,6 +265,7 @@ class ConformerDecoder(nn.Module):
                 self.kernel_size,
                 self.half_step_residual,
                 self.dropout,
+                self.mask_attn_keys,
                 name=f"layer_{i}",
             )(x, pos_emb, pad_mask, train=train)
         return x, pad_mask

@@ -343,12 +343,13 @@ def import_fastspeech2(
             dec[f"layer_{i}"] = _fft_block_params(sd, f"decoder.layer_stack.{i}")
         params["encoder"], params["decoder"] = enc, dec
     elif block == "conformer":
-        params["encoder"] = _conformer_stack_params(
+        params["encoder"], enc_stats = _conformer_stack_params(
             sd, "encoder", hp["encoder_layers"], with_embedding=True
         )
-        params["decoder"] = _conformer_stack_params(
+        params["decoder"], dec_stats = _conformer_stack_params(
             sd, "decoder", hp["decoder_layers"], with_embedding=False
         )
+        stats["encoder"], stats["decoder"] = enc_stats, dec_stats
     else:
         raise NotImplementedError(f"unknown building block {block!r}")
 
@@ -386,3 +387,67 @@ def import_fastspeech2(
     if stats:
         out["batch_stats"] = stats
     return out
+
+
+def _conformer_ffn_params(sd, prefix: str) -> Dict[str, Any]:
+    """Reference FeedForwardModule sequential {0=LN,1=Linear,4=Linear}
+    (`blocks/conformer.py:275-307`) -> our FeedForwardModule."""
+    return {
+        "LayerNorm_0": layernorm_params(sd, f"{prefix}.sequential.0"),
+        "Dense_0": linear_params(sd, f"{prefix}.sequential.1.linear"),
+        "Dense_1": linear_params(sd, f"{prefix}.sequential.4.linear"),
+    }
+
+
+def _conformer_block_params(sd, prefix: str):
+    """Reference ConformerBlock sequential
+    {0=ff1,1=mhsa,2=conv,3=ff2,4=LN} (`blocks/conformer.py:215-250`)
+    -> (our ConformerBlock params, batch_stats)."""
+    attn = f"{prefix}.sequential.1.module.attention"
+
+    def nobias_linear(name):
+        # reference projections are bias-free LinearNorm; our Dense has a
+        # bias which we zero-fill (pos_proj is bias-free on both sides)
+        w = _to_np(sd[f"{attn}.{name}.linear.weight"])
+        return {"kernel": w.T, "bias": np.zeros(w.shape[0], np.float32)}
+
+    mhsa = {
+        "query_proj": nobias_linear("query_proj"),
+        "key_proj": nobias_linear("key_proj"),
+        "value_proj": nobias_linear("value_proj"),
+        "pos_proj": {"kernel": _to_np(sd[f"{attn}.pos_proj.linear.weight"]).T},
+        "out_proj": nobias_linear("out_proj"),
+        "u_bias": _to_np(sd[f"{attn}.u_bias"]),
+        "v_bias": _to_np(sd[f"{attn}.v_bias"]),
+    }
+    convseq = f"{prefix}.sequential.2.module.sequential"
+    bn_p, bn_s = batchnorm_params(sd, f"{convseq}.5")
+    conv = {
+        "LayerNorm_0": layernorm_params(sd, f"{convseq}.0"),
+        "pw_conv1": plain_conv1d_params(sd, f"{convseq}.2.conv"),
+        "dw_conv": plain_conv1d_params(sd, f"{convseq}.4.conv"),
+        "bn": bn_p,
+        "pw_conv2": plain_conv1d_params(sd, f"{convseq}.7.conv"),
+    }
+    params = {
+        "ff1": _conformer_ffn_params(sd, f"{prefix}.sequential.0.module"),
+        "mhsa_ln": layernorm_params(sd, f"{prefix}.sequential.1.module.layer_norm"),
+        "mhsa": mhsa,
+        "conv": conv,
+        "ff2": _conformer_ffn_params(sd, f"{prefix}.sequential.3.module"),
+        "final_ln": layernorm_params(sd, f"{prefix}.sequential.4"),
+    }
+    return params, {"conv": {"bn": bn_s}}
+
+
+def _conformer_stack_params(sd, prefix: str, n_layers: int, with_embedding: bool):
+    """(params, batch_stats) for a reference conformer Encoder/Decoder."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    if with_embedding:
+        params["src_word_emb"] = embed_params(sd, f"{prefix}.src_word_emb")
+    for i in range(n_layers):
+        p, s = _conformer_block_params(sd, f"{prefix}.layer_stack.{i}")
+        params[f"layer_{i}"] = p
+        stats[f"layer_{i}"] = s
+    return params, stats
