@@ -93,3 +93,19 @@ def test_fused_stage_sequence_boundary():
         )
     )[:, :200]
     np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_generator_fused_mrf_matches_layer_path():
+    """HiFiGANGenerator(fused_mrf=True) must match the layer-by-layer module
+    on the same parameters (weight-normed, full 4-stage config)."""
+    from viet_tts_tpu.models.hifigan import HiFiGANGenerator
+
+    mel = np.random.RandomState(0).randn(1, 23, 80).astype(np.float32)
+    base = HiFiGANGenerator(channels=32)
+    v = base.init(jax.random.PRNGKey(0), jnp.asarray(mel))
+    ref = np.asarray(base.apply(v, jnp.asarray(mel)))
+
+    fused = HiFiGANGenerator(channels=32, fused_mrf=True, fused_interpret=True)
+    out = np.asarray(fused.apply(v, jnp.asarray(mel)))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=2e-5)

@@ -182,6 +182,7 @@ class TwoStageTTS(_TTSBase):
         max_mel_frames: int = 1008,
         half: bool = False,
         data_parallel: bool = False,
+        fused_vocoder: bool = False,
     ):
         import jax
 
@@ -225,6 +226,7 @@ class TwoStageTTS(_TTSBase):
             resblock_dilations=tuple(
                 map(tuple, hifi.get("resblock_dilation_sizes", ((1, 3, 5),) * 3))
             ),
+            fused_mrf=fused_vocoder,
         )
 
         self._load_weights(acoustic_ckpt, vocoder_ckpt)
@@ -369,7 +371,7 @@ class OneStageTTS(_TTSBase):
 
     def __init__(self, checkpoint_path: str, model_type: str = "JETS",
                  max_mel_frames: int = 1008, half: bool = False,
-                 data_parallel: bool = False):
+                 data_parallel: bool = False, fused_vocoder: bool = False):
         import jax
 
         self.model_type = model_type.lower()
@@ -394,10 +396,13 @@ class OneStageTTS(_TTSBase):
         if self.model_type == "jets":
             from viet_tts_tpu.models.jets import JETS
 
+            jets_hp = dict(conf["models"]["jets"]["generator_params"])
+            if fused_vocoder:
+                jets_hp["fused_mrf"] = True
             self.model = JETS(
                 n_symbols=NUM_SYMBOLS,
                 n_channels=conf["audio"]["mel"]["channels"],
-                hparams=conf["models"]["jets"]["generator_params"],
+                hparams=jets_hp,
                 n_speakers=n_spk,
             )
         elif self.model_type == "vits2":

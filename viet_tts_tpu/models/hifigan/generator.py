@@ -141,6 +141,65 @@ class HiFiGANGenerator(nn.Module):
     use_additional_convs: bool = True
     lrelu_slope: float = 0.1
     use_weight_norm: bool = True
+    # Inference-only fast path: evaluate each upsample stage's resblock trio
+    # with the fused Pallas MRF kernel (`ops/pallas_vocoder.py`) instead of
+    # 18 separate XLA convs. Numerically matches the layer path; no VJP, so
+    # keep False for training. `fused_interpret=None` auto-selects Pallas
+    # interpret mode off-TPU (for CPU tests).
+    fused_mrf: bool = False
+    fused_interpret: Optional[bool] = None
+
+    def _effective_kernel(self, p):
+        """Effective conv kernel from a WNConv1d param subtree (mirrors
+        flax nn.WeightNorm: scale * v / sqrt(||v||^2 + eps))."""
+        kernel = p["conv"]["kernel"]
+        if self.use_weight_norm:
+            scale = p["wn"]["conv/kernel/scale"]
+            norm = jax.lax.rsqrt(
+                (kernel * kernel).sum(axis=(0, 1), keepdims=True) + 1e-12
+            )
+            kernel = kernel * norm * scale[None, None, :]
+        return kernel
+
+    def _fused_stage(self, x: jnp.ndarray, i: int) -> jnp.ndarray:
+        """Run stage i's residual trio through the fused Pallas kernel,
+        reading the already-created block parameters."""
+        from viet_tts_tpu.ops.pallas_vocoder import fused_mrf_stage
+
+        w1s, b1s, w2s, b2s = [], [], [], []
+        for j, rd in enumerate(self.resblock_dilations):
+            p = self.get_variable("params", f"block_{i}_{j}")
+            w1s.append(
+                jnp.stack(
+                    [self._effective_kernel(p[f"conv1_{d}"]) for d in range(len(rd))]
+                )
+            )
+            b1s.append(
+                jnp.stack([p[f"conv1_{d}"]["conv"]["bias"] for d in range(len(rd))])
+            )
+            w2s.append(
+                jnp.stack(
+                    [self._effective_kernel(p[f"conv2_{d}"]) for d in range(len(rd))]
+                )
+            )
+            b2s.append(
+                jnp.stack([p[f"conv2_{d}"]["conv"]["bias"] for d in range(len(rd))])
+            )
+        interpret = self.fused_interpret
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        return fused_mrf_stage(
+            x,
+            jnp.int32(x.shape[1]),
+            tuple(w1s),
+            tuple(b1s),
+            tuple(w2s),
+            tuple(b2s),
+            kernel_sizes=tuple(self.resblock_kernel_sizes),
+            dilations=tuple(map(tuple, self.resblock_dilations)),
+            lrelu=self.lrelu_slope,
+            interpret=interpret,
+        )
 
     @nn.compact
     def __call__(
@@ -171,20 +230,23 @@ class HiFiGANGenerator(nn.Module):
                 use_weight_norm=wn,
                 name=f"upsample_{i}",
             )(x)
-            acc = 0.0
-            for j, (rk, rd) in enumerate(
-                zip(self.resblock_kernel_sizes, self.resblock_dilations)
-            ):
-                acc = acc + ResidualBlock(
-                    ch,
-                    rk,
-                    tuple(rd),
-                    self.use_additional_convs,
-                    self.lrelu_slope,
-                    wn,
-                    name=f"block_{i}_{j}",
-                )(x)
-            x = acc / n_blocks
+            if self.fused_mrf and not self.is_initializing():
+                x = self._fused_stage(x, i)
+            else:
+                acc = 0.0
+                for j, (rk, rd) in enumerate(
+                    zip(self.resblock_kernel_sizes, self.resblock_dilations)
+                ):
+                    acc = acc + ResidualBlock(
+                        ch,
+                        rk,
+                        tuple(rd),
+                        self.use_additional_convs,
+                        self.lrelu_slope,
+                        wn,
+                        name=f"block_{i}_{j}",
+                    )(x)
+                x = acc / n_blocks
 
         x = nn.leaky_relu(x, 0.01)  # reference uses default slope here
         x = WNConv1d(
