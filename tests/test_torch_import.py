@@ -371,3 +371,237 @@ def test_fastspeech2_conformer_teacher_forced_parity():
     # sqrt(d_model) scaling, macaron FFNs, GLU conv module) against the
     # reference's own torch modules under imported weights
     _fs2_teacher_forced_check(_fs2_conformer_hp(), atol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# JETS import parity (reference orchestration + espnet torch equivalents)
+# ---------------------------------------------------------------------------
+
+JETS_HP = {
+    "adim": 32,
+    "aheads": 2,
+    "elayers": 2,
+    "eunits": 64,
+    "dlayers": 2,
+    "dunits": 64,
+    "positionwise_layer_type": "conv1d",
+    "positionwise_conv_kernel_size": 3,
+    "duration_predictor_layers": 2,
+    "duration_predictor_chans": 24,
+    "duration_predictor_kernel_size": 3,
+    "pitch_predictor_layers": 5,
+    "pitch_predictor_chans": 24,
+    "pitch_predictor_kernel_size": 5,
+    "pitch_embed_kernel_size": 1,
+    "pitch_embed_dropout": 0.0,
+    "energy_predictor_layers": 2,
+    "energy_predictor_chans": 24,
+    "energy_predictor_kernel_size": 3,
+    "energy_embed_kernel_size": 1,
+    "energy_embed_dropout": 0.0,
+    "stop_gradient_from_pitch_predictor": True,
+    "use_gst": True,
+    "gst_tokens": 4,
+    "gst_heads": 2,
+    "generator_channels": 16,
+    "generator_upsample_scales": [4, 3],
+    "generator_upsample_kernel_sizes": [8, 6],
+    "generator_resblock_kernel_sizes": [3],
+    "generator_resblock_dilations": [[1, 3]],
+    "segment_size": 8,
+}
+
+
+def _load_reference_jets():
+    import importlib
+
+    from tests import espnet_torch_equiv
+
+    espnet_torch_equiv.install(str(REFERENCE))
+    sys.path.insert(0, str(REFERENCE))
+    try:
+        mod = importlib.import_module("models.gan_tts.jets.model")
+    finally:
+        sys.path.remove(str(REFERENCE))
+    return mod.JETS
+
+
+def _jets_pair(hp, seed=0, n_symbols=90, spks=3):
+    import torch
+
+    from viet_tts_tpu.models.jets import JETS as FlaxJETS
+    from viet_tts_tpu.train.torch_import import import_jets
+
+    TorchJETS = _load_reference_jets()
+    torch.manual_seed(seed)
+    tm = TorchJETS(
+        idim=n_symbols + 1, odim=80, spks=spks, init_type="pytorch", **hp
+    ).eval()
+    fm = FlaxJETS(
+        n_symbols=n_symbols, n_channels=80, hparams=dict(hp), n_speakers=spks
+    )
+    variables = import_jets(tm.state_dict(), hp)
+    return tm, fm, variables
+
+
+def _jets_batch(seed=3, B=2, T_text=9, T_mel=26):
+    rng = np.random.RandomState(seed)
+    text = rng.randint(1, 90, (B, T_text))
+    text[1:, 7:] = 0
+    text_lens = np.asarray([T_text, 7][:B])
+    feats_lens = np.asarray([T_mel, 20][:B])
+    return dict(
+        text=text,
+        text_lens=text_lens,
+        feats=rng.randn(B, T_mel, 80).astype(np.float32),
+        feats_lens=feats_lens,
+        pitch=rng.randn(B, T_mel, 1).astype(np.float32),
+        energy=rng.randn(B, T_mel, 1).astype(np.float32),
+        sids=np.asarray([0, 2][:B]),
+    )
+
+
+def _jets_forward_parity(hp, atol=3e-4):
+    import torch
+    import jax
+    import jax.numpy as jnp
+
+    tm, fm, variables = _jets_pair(hp)
+    b = _jets_batch()
+    with torch.no_grad():
+        (_, t_bin, t_lp, _, t_d, t_ds, t_p, t_ps, t_e, t_es) = tm(
+            torch.from_numpy(b["text"]).long(),
+            torch.from_numpy(b["text_lens"]).long(),
+            torch.from_numpy(b["feats"]),
+            torch.from_numpy(b["feats_lens"]).long(),
+            torch.from_numpy(b["pitch"]),
+            torch.from_numpy(b["feats_lens"]).long(),
+            torch.from_numpy(b["energy"]),
+            torch.from_numpy(b["feats_lens"]).long(),
+            torch.from_numpy(b["sids"]).long(),
+        )
+
+    outs = fm.apply(
+        variables,
+        text=jnp.asarray(b["text"]),
+        text_lengths=jnp.asarray(b["text_lens"]),
+        feats=jnp.asarray(b["feats"]),
+        feats_lengths=jnp.asarray(b["feats_lens"]),
+        pitch=jnp.asarray(b["pitch"]),
+        energy=jnp.asarray(b["energy"]),
+        sids=jnp.asarray(b["sids"]),
+        train=False,
+        rngs={"noise": jax.random.PRNGKey(0)},
+    )
+    (_, j_bin, j_lp, _, j_d, j_ds, j_p, j_ps, j_e, j_es) = outs
+
+    np.testing.assert_array_equal(np.asarray(j_ds), t_ds.numpy())
+    np.testing.assert_allclose(float(j_bin), float(t_bin), atol=atol)
+    for bi in range(len(b["text_lens"])):
+        lt = int(b["text_lens"][bi])
+        lm = int(b["feats_lens"][bi])
+        np.testing.assert_allclose(
+            np.asarray(j_lp)[bi, :lm, :lt], t_lp.numpy()[bi, :lm, :lt], atol=atol
+        )
+        for j_arr, t_arr in [(j_d, t_d), (j_p, t_p), (j_ps, t_ps),
+                             (j_e, t_e), (j_es, t_es)]:
+            np.testing.assert_allclose(
+                np.asarray(j_arr)[bi, :lt], t_arr.numpy()[bi, :lt], atol=atol
+            )
+
+
+@pytest.mark.skipif(not REFERENCE.exists(), reason="reference not mounted")
+def test_jets_import_tree_matches_init():
+    import jax
+    import jax.numpy as jnp
+    from flax import traverse_util
+
+    tm, fm, variables = _jets_pair(JETS_HP)
+    b = _jets_batch()
+    key = jax.random.PRNGKey(0)
+    init = fm.init(
+        {"params": key, "dropout": key, "noise": key},
+        text=jnp.asarray(b["text"]),
+        text_lengths=jnp.asarray(b["text_lens"]),
+        feats=jnp.asarray(b["feats"]),
+        feats_lengths=jnp.asarray(b["feats_lens"]),
+        pitch=jnp.asarray(b["pitch"]),
+        energy=jnp.asarray(b["energy"]),
+        sids=jnp.asarray(b["sids"]),
+        train=True,
+    )
+    for col in ["params", "batch_stats"]:
+        got = set(traverse_util.flatten_dict(variables[col]))
+        want = set(traverse_util.flatten_dict(init[col]))
+        assert got == want, (col, sorted(want - got)[:8], sorted(got - want)[:8])
+
+
+@pytest.mark.skipif(not REFERENCE.exists(), reason="reference not mounted")
+def test_jets_transformer_forward_parity():
+    """Certifies the espnet transformer stack, GST (conv+GRU+style tokens),
+    alignment module, in-graph MAS and duration-averaging under imported
+    weights against the reference's own JETS forward
+    (`models/gan_tts/jets/model.py:505-643`)."""
+    _jets_forward_parity(JETS_HP)
+
+
+@pytest.mark.skipif(not REFERENCE.exists(), reason="reference not mounted")
+def test_jets_inference_waveform_parity():
+    """Full fused text->waveform inference parity incl. the HiFiGAN
+    generator (`models/gan_tts/jets/model.py:645-746`)."""
+    import torch
+    import jax.numpy as jnp
+
+    tm, fm, variables = _jets_pair(JETS_HP)
+    b = _jets_batch(B=1)
+    with torch.no_grad():
+        t_wav, t_wl = tm.inference(
+            torch.from_numpy(b["text"]).long(),
+            torch.from_numpy(b["text_lens"]).long(),
+            feats=torch.from_numpy(b["feats"]),
+            sids=torch.from_numpy(b["sids"]).long(),
+        )
+    up = int(np.prod(JETS_HP["generator_upsample_scales"]))
+    frames = t_wav.shape[-1] // up
+
+    j_wav, j_wl = fm.apply(
+        variables,
+        jnp.asarray(b["sids"]),
+        jnp.asarray(b["text"]),
+        jnp.asarray(b["text_lens"]),
+        int(frames),
+        feats=jnp.asarray(b["feats"]),
+        method=fm.inference,
+    )
+    assert int(j_wl[0]) == int(t_wl[0])
+    np.testing.assert_allclose(
+        np.asarray(j_wav)[0], t_wav.numpy()[0], atol=1e-3
+    )
+
+
+def _jets_conformer_hp(rel_pos_type):
+    hp = dict(JETS_HP)
+    hp.update(
+        encoder_type="conformer",
+        decoder_type="conformer",
+        conformer_rel_pos_type=rel_pos_type,
+        conformer_pos_enc_layer_type="rel_pos",
+        conformer_self_attn_layer_type="rel_selfattn",
+        conformer_enc_kernel_size=7,
+        conformer_dec_kernel_size=7,
+        use_gst=False,
+    )
+    return hp
+
+
+@pytest.mark.skipif(not REFERENCE.exists(), reason="reference not mounted")
+def test_jets_conformer_latest_forward_parity():
+    """espnet conformer 'latest' rel-pos stack under imported weights."""
+    _jets_forward_parity(_jets_conformer_hp("latest"), atol=5e-4)
+
+
+@pytest.mark.skipif(not REFERENCE.exists(), reason="reference not mounted")
+def test_jets_conformer_legacy_forward_parity():
+    """espnet conformer 'legacy' rel-pos variant (the reference's
+    compatibility fallback, `jets/model.py:272-293`)."""
+    _jets_forward_parity(_jets_conformer_hp("legacy"), atol=5e-4)

@@ -76,6 +76,11 @@ class JETS(nn.Module):
                         f"transformer_{kind}_attn_dropout_rate", 0.2
                     ),
                     macaron=hp.get("use_macaron_style_in_conformer", True),
+                    ffn_type=hp.get("positionwise_layer_type", "conv1d"),
+                    ffn_kernel=hp.get("positionwise_conv_kernel_size", 1),
+                    # mirror the reference's rel-pos compatibility fallback
+                    # (`jets/model.py:272-293`)
+                    legacy=hp.get("conformer_rel_pos_type", "latest") == "legacy",
                 )
             return EspnetTransformerEncoder(
                 d_model=adim,
@@ -156,6 +161,9 @@ class JETS(nn.Module):
             ),
             use_additional_convs=hp.get("generator_use_additional_convs", True),
             use_weight_norm=hp.get("generator_use_weight_norm", True),
+            # inference-only Pallas fused-MRF decode (no VJP — keep off for
+            # training; the serving API flips it via hparams)
+            fused_mrf=bool(hp.get("fused_mrf", False)),
         )
         self.upsample_factor = self.generator.upsample_factor
 

@@ -1,17 +1,21 @@
-"""espnet-style Conformer encoder ("latest" rel-pos flavour) for JETS.
+"""espnet-style Conformer encoder ("latest" + "legacy" rel-pos) for JETS.
 
 Parity target: espnet `nets/pytorch_backend/conformer/encoder.py` as
 instantiated at `models/gan_tts/jets/model.py:317-341,460-482`
-(pos_enc_layer_type=rel_pos, self_attn=rel_selfattn, swish activation,
-macaron style, CNN module). Components:
+(pos_enc_layer_type=rel_pos or legacy_rel_pos, swish activation, macaron
+style, CNN module, conv1d positionwise layers). Components:
 
 - RelPositionalEncoding: x * sqrt(d) plus a (2T-1)-long symmetric position
-  embedding handed to attention
+  embedding handed to attention; the legacy flavour uses a T-long positive
+  table and the older relative shift
 - RelPositionMultiHeadedAttention: Transformer-XL content/position scores
-  with learned pos_bias_u/v and the "latest" relative shift
+  with learned pos_bias_u/v
 - ConvolutionModule: pointwise(2x) -> GLU -> depthwise -> BatchNorm -> swish
   -> pointwise
-- macaron feed-forwards at 0.5 residual weight, pre-norm, final LayerNorm.
+- positionwise feed-forward: espnet's MultiLayeredConv1d (two convs + relu)
+  when ffn_type="conv1d" (the reference's config), Linear+swish otherwise
+- macaron feed-forwards at 0.5 residual weight, pre-norm, final LayerNorm
+  (espnet LayerNorm eps=1e-12 throughout).
 """
 
 from __future__ import annotations
@@ -20,11 +24,11 @@ import functools
 from typing import Optional, Tuple
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 import numpy as np
 
 MASK_NEG = -1.0e9
+LN_EPS = 1e-12  # espnet LayerNorm epsilon
 
 
 @functools.lru_cache(maxsize=8)
@@ -49,10 +53,19 @@ def _rel_shift(x: jnp.ndarray) -> jnp.ndarray:
     return x[:, :, :, :T]
 
 
+def _legacy_rel_shift(x: jnp.ndarray) -> jnp.ndarray:
+    """espnet 'legacy' relative shift: (B, H, T, T) -> (B, H, T, T)."""
+    B, H, T, _ = x.shape
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (1, 0)))  # (B, H, T, T+1)
+    x = x.reshape(B, H, T + 1, T)
+    return x[:, :, 1:].reshape(B, H, T, T)
+
+
 class RelPositionMultiHeadedAttention(nn.Module):
     d_model: int
     num_heads: int
     dropout: float = 0.0
+    legacy: bool = False
 
     @nn.compact
     def __call__(self, x, pos_emb, valid_mask=None, train: bool = False):
@@ -69,13 +82,19 @@ class RelPositionMultiHeadedAttention(nn.Module):
         w = self.param("pos_bias_v", nn.initializers.xavier_uniform(), (H, D))
 
         matrix_ac = jnp.einsum("bqhd,bkhd->bhqk", q + u, k)
-        matrix_bd = jnp.einsum("bqhd,bkhd->bhqk", q + w, jnp.broadcast_to(p, (B, p.shape[1], H, D)))
-        matrix_bd = _rel_shift(matrix_bd)
+        matrix_bd = jnp.einsum(
+            "bqhd,bkhd->bhqk", q + w, jnp.broadcast_to(p, (B, p.shape[1], H, D))
+        )
+        matrix_bd = _legacy_rel_shift(matrix_bd) if self.legacy else _rel_shift(
+            matrix_bd
+        )
         scores = (matrix_ac + matrix_bd) / jnp.sqrt(jnp.asarray(D, x.dtype))
 
         if valid_mask is not None:
             scores = jnp.where(valid_mask[:, None, None, :], scores, MASK_NEG)
         attn = nn.softmax(scores, axis=-1)
+        if valid_mask is not None:
+            attn = jnp.where(valid_mask[:, None, None, :], attn, 0.0)
         attn = nn.Dropout(self.dropout)(attn, deterministic=not train)
         ctx = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, T, self.d_model)
         return nn.Dense(self.d_model, name="linear_out")(ctx)
@@ -110,34 +129,51 @@ class EspnetConformerLayer(nn.Module):
     dropout: float = 0.1
     attn_dropout: float = 0.1
     macaron: bool = True
+    ffn_type: str = "conv1d"  # espnet positionwise_layer_type
+    ffn_kernel: int = 1
+    legacy: bool = False
 
     @nn.compact
     def __call__(self, x, pos_emb, valid_mask=None, train: bool = False):
         def ff(name, z):
-            h = nn.LayerNorm(name=f"norm_{name}")(z)
-            h = nn.Dense(self.linear_units, name=f"{name}_w1")(h)
-            h = h * nn.sigmoid(h)  # swish
-            h = nn.Dropout(self.dropout)(h, deterministic=not train)
-            h = nn.Dense(self.d_model, name=f"{name}_w2")(h)
+            h = nn.LayerNorm(epsilon=LN_EPS, name=f"norm_{name}")(z)
+            if self.ffn_type == "conv1d":
+                # espnet MultiLayeredConv1d: conv -> relu -> dropout -> conv
+                h = nn.Conv(
+                    self.linear_units, (self.ffn_kernel,), padding="SAME",
+                    name=f"{name}_w_1",
+                )(h)
+                h = nn.relu(h)
+                h = nn.Dropout(self.dropout)(h, deterministic=not train)
+                h = nn.Conv(
+                    self.d_model, (self.ffn_kernel,), padding="SAME",
+                    name=f"{name}_w_2",
+                )(h)
+            else:
+                h = nn.Dense(self.linear_units, name=f"{name}_w_1")(h)
+                h = h * nn.sigmoid(h)  # swish
+                h = nn.Dropout(self.dropout)(h, deterministic=not train)
+                h = nn.Dense(self.d_model, name=f"{name}_w_2")(h)
             return nn.Dropout(self.dropout)(h, deterministic=not train)
 
         if self.macaron:
             x = x + 0.5 * ff("ff_macaron", x)
 
-        h = nn.LayerNorm(name="norm_mha")(x)
+        h = nn.LayerNorm(epsilon=LN_EPS, name="norm_mha")(x)
         h = RelPositionMultiHeadedAttention(
-            self.d_model, self.num_heads, self.attn_dropout, name="self_attn"
+            self.d_model, self.num_heads, self.attn_dropout,
+            legacy=self.legacy, name="self_attn",
         )(h, pos_emb, valid_mask, train=train)
         x = x + nn.Dropout(self.dropout)(h, deterministic=not train)
 
-        h = nn.LayerNorm(name="norm_conv")(x)
+        h = nn.LayerNorm(epsilon=LN_EPS, name="norm_conv")(x)
         h = EspnetConvModule(self.d_model, self.kernel_size, name="conv_module")(
             h, train=train
         )
         x = x + nn.Dropout(self.dropout)(h, deterministic=not train)
 
         x = x + (0.5 if self.macaron else 1.0) * ff("ff", x)
-        return nn.LayerNorm(name="norm_final")(x)
+        return nn.LayerNorm(epsilon=LN_EPS, name="norm_final")(x)
 
 
 class EspnetConformerEncoder(nn.Module):
@@ -153,6 +189,9 @@ class EspnetConformerEncoder(nn.Module):
     positional_dropout: float = 0.1
     attn_dropout: float = 0.1
     macaron: bool = True
+    ffn_type: str = "conv1d"
+    ffn_kernel: int = 1
+    legacy: bool = False  # espnet conformer_rel_pos_type == "legacy"
 
     @nn.compact
     def __call__(
@@ -170,7 +209,16 @@ class EspnetConformerEncoder(nn.Module):
         T = x.shape[1]
         x = x * jnp.sqrt(jnp.asarray(self.d_model, x.dtype))
         x = nn.Dropout(self.positional_dropout)(x, deterministic=not train)
-        pos_emb = jnp.asarray(rel_positional_table(T, self.d_model))[None]
+        if self.legacy:
+            from viet_tts_tpu.nn.espnet_transformer import (
+                interleaved_sinusoid_table,
+            )
+
+            pos_emb = jnp.asarray(interleaved_sinusoid_table(T, self.d_model))[
+                None
+            ]
+        else:
+            pos_emb = jnp.asarray(rel_positional_table(T, self.d_model))[None]
         pos_emb = nn.Dropout(self.positional_dropout)(
             pos_emb, deterministic=not train
         )
@@ -184,7 +232,10 @@ class EspnetConformerEncoder(nn.Module):
                 self.dropout,
                 self.attn_dropout,
                 self.macaron,
+                self.ffn_type,
+                self.ffn_kernel,
+                self.legacy,
                 name=f"layer_{i}",
             )(x, pos_emb, valid_mask, train=train)
-        x = nn.LayerNorm(name="after_norm")(x)
+        x = nn.LayerNorm(epsilon=LN_EPS, name="after_norm")(x)
         return x, valid_mask

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 MASK_NEG = -1.0e9
+LN_EPS = 1e-12  # espnet LayerNorm epsilon
 
 
 @functools.lru_cache(maxsize=8)
@@ -69,6 +70,8 @@ class EspnetSelfAttention(nn.Module):
         if valid_mask is not None:
             scores = jnp.where(valid_mask[:, None], scores, MASK_NEG)
         attn = nn.softmax(scores, axis=-1)
+        if valid_mask is not None:
+            attn = jnp.where(valid_mask[:, None], attn, 0.0)
         attn = nn.Dropout(self.dropout)(attn, deterministic=not train)
         ctx = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, T, self.d_model)
         return nn.Dense(self.d_model, name="linear_out")(ctx)
@@ -102,23 +105,23 @@ class EspnetEncoderLayer(nn.Module):
     @nn.compact
     def __call__(self, x, valid_mask=None, train: bool = False):
         residual = x
-        h = nn.LayerNorm(name="norm1")(x) if self.normalize_before else x
+        h = nn.LayerNorm(epsilon=LN_EPS, name="norm1")(x) if self.normalize_before else x
         h = EspnetSelfAttention(
             self.d_model, self.num_heads, self.attn_dropout, name="self_attn"
         )(h, valid_mask, train=train)
         x = residual + nn.Dropout(self.dropout)(h, deterministic=not train)
         if not self.normalize_before:
-            x = nn.LayerNorm(name="norm1")(x)
+            x = nn.LayerNorm(epsilon=LN_EPS, name="norm1")(x)
 
         residual = x
-        h = nn.LayerNorm(name="norm2")(x) if self.normalize_before else x
+        h = nn.LayerNorm(epsilon=LN_EPS, name="norm2")(x) if self.normalize_before else x
         h = MultiLayeredConv1d(
             self.linear_units, self.d_model, self.kernel_size, self.dropout,
             name="feed_forward",
         )(h, train=train)
         x = residual + nn.Dropout(self.dropout)(h, deterministic=not train)
         if not self.normalize_before:
-            x = nn.LayerNorm(name="norm2")(x)
+            x = nn.LayerNorm(epsilon=LN_EPS, name="norm2")(x)
         return x
 
 
@@ -179,5 +182,5 @@ class EspnetTransformerEncoder(nn.Module):
                 name=f"layer_{i}",
             )(x, attn_mask, train=train)
         if self.normalize_before:
-            x = nn.LayerNorm(name="after_norm")(x)
+            x = nn.LayerNorm(epsilon=LN_EPS, name="after_norm")(x)
         return x, valid_mask

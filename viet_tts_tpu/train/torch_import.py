@@ -451,3 +451,264 @@ def _conformer_stack_params(sd, prefix: str, n_layers: int, with_embedding: bool
         params[f"layer_{i}"] = p
         stats[f"layer_{i}"] = s
     return params, stats
+
+
+# ---------------------------------------------------------------------------
+# JETS (espnet-composed FastSpeech2 + HiFi-GAN)
+# ---------------------------------------------------------------------------
+
+
+def _espnet_mha_params(sd, prefix: str) -> Dict[str, Any]:
+    """espnet MultiHeadedAttention -> our EspnetSelfAttention."""
+    return {
+        "linear_q": linear_params(sd, f"{prefix}.linear_q"),
+        "linear_k": linear_params(sd, f"{prefix}.linear_k"),
+        "linear_v": linear_params(sd, f"{prefix}.linear_v"),
+        "linear_out": linear_params(sd, f"{prefix}.linear_out"),
+    }
+
+
+def _espnet_transformer_stack_params(
+    sd, prefix: str, n_layers: int, has_embed: bool
+) -> Dict[str, Any]:
+    """espnet transformer Encoder (`jets/model.py:300-316,439-454`) ->
+    our EspnetTransformerEncoder params."""
+    out: Dict[str, Any] = {}
+    if has_embed:
+        out["embed"] = embed_params(sd, f"{prefix}.embed.0")
+        pos_idx = 1
+    else:
+        pos_idx = 0
+    if f"{prefix}.embed.{pos_idx}.alpha" in sd:
+        out["pos_enc"] = {
+            "alpha": _to_np(sd[f"{prefix}.embed.{pos_idx}.alpha"]).reshape(1)
+        }
+    for i in range(n_layers):
+        lp = f"{prefix}.encoders.{i}"
+        out[f"layer_{i}"] = {
+            "norm1": layernorm_params(sd, f"{lp}.norm1"),
+            "norm2": layernorm_params(sd, f"{lp}.norm2"),
+            "self_attn": _espnet_mha_params(sd, f"{lp}.self_attn"),
+            "feed_forward": {
+                "w_1": plain_conv1d_params(sd, f"{lp}.feed_forward.w_1"),
+                "w_2": plain_conv1d_params(sd, f"{lp}.feed_forward.w_2"),
+            },
+        }
+    if f"{prefix}.after_norm.weight" in sd:
+        out["after_norm"] = layernorm_params(sd, f"{prefix}.after_norm")
+    return out
+
+
+def _espnet_conformer_stack_params(
+    sd, prefix: str, n_layers: int, has_embed: bool, ffn_type: str = "conv1d"
+):
+    """espnet conformer Encoder (`jets/model.py:317-341,455-477`) ->
+    (our EspnetConformerEncoder params, batch_stats)."""
+    out: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    if has_embed:
+        out["embed"] = embed_params(sd, f"{prefix}.embed.0")
+
+    def ffn(lp, torch_name, flax_name, layer):
+        if ffn_type == "conv1d":
+            layer[f"{flax_name}_w_1"] = plain_conv1d_params(
+                sd, f"{lp}.{torch_name}.w_1"
+            )
+            layer[f"{flax_name}_w_2"] = plain_conv1d_params(
+                sd, f"{lp}.{torch_name}.w_2"
+            )
+        else:
+            layer[f"{flax_name}_w_1"] = linear_params(sd, f"{lp}.{torch_name}.w_1")
+            layer[f"{flax_name}_w_2"] = linear_params(sd, f"{lp}.{torch_name}.w_2")
+
+    for i in range(n_layers):
+        lp = f"{prefix}.encoders.{i}"
+        layer: Dict[str, Any] = {
+            "norm_mha": layernorm_params(sd, f"{lp}.norm_mha"),
+            "norm_ff": layernorm_params(sd, f"{lp}.norm_ff"),
+            "self_attn": {
+                **_espnet_mha_params(sd, f"{lp}.self_attn"),
+                "linear_pos": {
+                    "kernel": _to_np(sd[f"{lp}.self_attn.linear_pos.weight"]).T
+                },
+                "pos_bias_u": _to_np(sd[f"{lp}.self_attn.pos_bias_u"]),
+                "pos_bias_v": _to_np(sd[f"{lp}.self_attn.pos_bias_v"]),
+            },
+        }
+        ffn(lp, "feed_forward", "ff", layer)
+        if f"{lp}.feed_forward_macaron.w_1.weight" in sd:
+            layer["norm_ff_macaron"] = layernorm_params(sd, f"{lp}.norm_ff_macaron")
+            ffn(lp, "feed_forward_macaron", "ff_macaron", layer)
+        lstats: Dict[str, Any] = {}
+        if f"{lp}.conv_module.pointwise_conv1.weight" in sd:
+            bn_p, bn_s = batchnorm_params(sd, f"{lp}.conv_module.norm")
+            layer["norm_conv"] = layernorm_params(sd, f"{lp}.norm_conv")
+            layer["norm_final"] = layernorm_params(sd, f"{lp}.norm_final")
+            layer["conv_module"] = {
+                "pointwise_conv1": plain_conv1d_params(
+                    sd, f"{lp}.conv_module.pointwise_conv1"
+                ),
+                "depthwise_conv": plain_conv1d_params(
+                    sd, f"{lp}.conv_module.depthwise_conv"
+                ),
+                "norm": bn_p,
+                "pointwise_conv2": plain_conv1d_params(
+                    sd, f"{lp}.conv_module.pointwise_conv2"
+                ),
+            }
+            lstats["conv_module"] = {"norm": bn_s}
+        out[f"layer_{i}"] = layer
+        if lstats:
+            stats[f"layer_{i}"] = lstats
+    if f"{prefix}.after_norm.weight" in sd:
+        out["after_norm"] = layernorm_params(sd, f"{prefix}.after_norm")
+    return out, stats
+
+
+def _espnet_predictor_params(sd, prefix: str, n_layers: int) -> Dict[str, Any]:
+    """espnet Duration/VariancePredictor conv.{i}.{0=Conv1d,2=LayerNorm} ->
+    our Espnet{Duration,Variance}Predictor {conv_i, ln_i, linear}."""
+    out: Dict[str, Any] = {}
+    for i in range(n_layers):
+        out[f"conv_{i}"] = plain_conv1d_params(sd, f"{prefix}.conv.{i}.0")
+        out[f"ln_{i}"] = layernorm_params(sd, f"{prefix}.conv.{i}.2")
+    out["linear"] = linear_params(sd, f"{prefix}.linear")
+    return out
+
+
+def _torch_gru_params(sd, prefix: str, layer: int, n_features: int, n_chans: int):
+    """torch GRU layer -> flax GRUCell params.
+
+    flax GRUCell: r = sig(ir(x) + hr(h)); z = sig(iz(x) + hz(h));
+    n = tanh(in(x) + r * hn(h)); hr/hz have no bias, so torch's b_hh r/z
+    parts fold into ir/iz biases; hn keeps b_hn (multiplied by r exactly
+    like torch).  The conv-stack features reaching the GRU are flattened
+    (C, F) C-major in torch but (F, C) F-major in our NHWC layout, so the
+    input columns are permuted accordingly.
+    """
+    w_ih = _to_np(sd[f"{prefix}.weight_ih_l{layer}"])  # (3H, in)
+    w_hh = _to_np(sd[f"{prefix}.weight_hh_l{layer}"])  # (3H, H)
+    b_ih = _to_np(sd[f"{prefix}.bias_ih_l{layer}"])
+    b_hh = _to_np(sd[f"{prefix}.bias_hh_l{layer}"])
+    H = n_chans
+    in_dim = w_ih.shape[1]
+    if layer == 0 and n_features > 0:
+        C = in_dim // n_features
+        # flax idx f*C + c  <- torch idx c*F + f
+        perm = np.arange(in_dim).reshape(C, n_features).T.reshape(-1)
+        w_ih = w_ih[:, perm]
+    w_ir, w_iz, w_in = w_ih[:H], w_ih[H : 2 * H], w_ih[2 * H :]
+    w_hr, w_hz, w_hn = w_hh[:H], w_hh[H : 2 * H], w_hh[2 * H :]
+    return {
+        "ir": {"kernel": w_ir.T, "bias": b_ih[:H] + b_hh[:H]},
+        "iz": {"kernel": w_iz.T, "bias": b_ih[H : 2 * H] + b_hh[H : 2 * H]},
+        "in": {"kernel": w_in.T, "bias": b_ih[2 * H :]},
+        "hr": {"kernel": w_hr.T},
+        "hz": {"kernel": w_hz.T},
+        "hn": {"kernel": w_hn.T, "bias": b_hh[2 * H :]},
+    }
+
+
+def _gst_params(sd, prefix: str, conv_layers: int = 6, gru_layers: int = 1,
+                idim: int = 80, conv_kernel_size: int = 3, conv_stride: int = 2):
+    """espnet StyleEncoder (`jets/model.py:344-357`) -> our StyleEncoder."""
+    params: Dict[str, Any] = {"ref_enc": {}, "stl": {}}
+    stats: Dict[str, Any] = {"ref_enc": {}}
+    f_dim = idim
+    pad = (conv_kernel_size - 1) // 2
+    for i in range(conv_layers):
+        w = _to_np(sd[f"{prefix}.ref_enc.convs.{3 * i}.weight"])  # (out,in,kh,kw)
+        params["ref_enc"][f"conv_{i}"] = {"kernel": np.transpose(w, (2, 3, 1, 0))}
+        bn_p, bn_s = batchnorm_params(sd, f"{prefix}.ref_enc.convs.{3 * i + 1}")
+        params["ref_enc"][f"bn_{i}"] = bn_p
+        stats["ref_enc"][f"bn_{i}"] = bn_s
+        f_dim = (f_dim - conv_kernel_size + 2 * pad) // conv_stride + 1
+    gru_units = _to_np(sd[f"{prefix}.ref_enc.gru.weight_hh_l0"]).shape[1]
+    for i in range(gru_layers):
+        # the GRUCell is constructed outside nn.RNN, so flax scopes it to
+        # the parent module as GRUCell_{i}
+        params["ref_enc"][f"GRUCell_{i}"] = _torch_gru_params(
+            sd, f"{prefix}.ref_enc.gru", i, f_dim if i == 0 else 0, gru_units
+        )
+    params["stl"]["gst_embs"] = _to_np(sd[f"{prefix}.stl.gst_embs"])
+    for name in ["linear_q", "linear_k", "linear_v", "linear_out"]:
+        params["stl"][name] = linear_params(sd, f"{prefix}.stl.mha.{name}")
+    return params, stats
+
+
+def import_jets(state_dict: Dict[str, Any], hparams: Dict[str, Any],
+                n_channels: int = 80) -> Dict[str, Any]:
+    """Reference `JETS` state_dict (`models/gan_tts/jets/model.py`) ->
+    flax variables {params, batch_stats}."""
+    sd = state_dict
+    hp = hparams
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    ffn_type = hp.get("positionwise_layer_type", "conv1d")
+    for part, n_layers in [("encoder", hp["elayers"]), ("decoder", hp["dlayers"])]:
+        kind = hp.get(f"{part}_type", "transformer")
+        has_embed = part == "encoder"
+        if kind == "conformer":
+            p, s = _espnet_conformer_stack_params(
+                sd, part, n_layers, has_embed, ffn_type
+            )
+            params[part] = p
+            if s:
+                stats[part] = s
+        else:
+            params[part] = _espnet_transformer_stack_params(
+                sd, part, n_layers, has_embed
+            )
+
+    if "sid_emb.weight" in sd:
+        params["sid_emb"] = embed_params(sd, "sid_emb")
+    if any(k.startswith("gst.") for k in sd):
+        p, s = _gst_params(
+            sd, "gst",
+            conv_layers=hp.get("gst_conv_layers", 6),
+            gru_layers=hp.get("gst_gru_layers", 1),
+            idim=n_channels,
+            conv_kernel_size=hp.get("gst_conv_kernel_size", 3),
+            conv_stride=hp.get("gst_conv_stride", 2),
+        )
+        params["gst"] = p
+        stats["gst"] = s
+
+    params["duration_predictor"] = _espnet_predictor_params(
+        sd, "duration_predictor", hp.get("duration_predictor_layers", 2)
+    )
+    params["pitch_predictor"] = _espnet_predictor_params(
+        sd, "pitch_predictor", hp.get("pitch_predictor_layers", 5)
+    )
+    params["energy_predictor"] = _espnet_predictor_params(
+        sd, "energy_predictor", hp.get("energy_predictor_layers", 2)
+    )
+    params["pitch_embed"] = {"conv": plain_conv1d_params(sd, "pitch_embed.0")}
+    params["energy_embed"] = {"conv": plain_conv1d_params(sd, "energy_embed.0")}
+
+    params["alignment_module"] = {
+        name: plain_conv1d_params(sd, f"alignment_module.{name}")
+        for name in ["t_conv1", "t_conv2", "f_conv1", "f_conv2", "f_conv3"]
+    }
+
+    gen_sd = {
+        k[len("generator."):]: v for k, v in sd.items()
+        if k.startswith("generator.")
+    }
+    params["generator"] = import_hifigan_generator(
+        gen_sd,
+        upsample_scales=tuple(hp.get("generator_upsample_scales", (8, 8, 2, 2))),
+        resblock_kernel_sizes=tuple(
+            hp.get("generator_resblock_kernel_sizes", (3, 7, 11))
+        ),
+        resblock_dilations=tuple(
+            map(tuple, hp.get("generator_resblock_dilations", ((1, 3, 5),) * 3))
+        ),
+        use_additional_convs=hp.get("generator_use_additional_convs", True),
+    )
+
+    out = {"params": params}
+    if stats:
+        out["batch_stats"] = stats
+    return out
