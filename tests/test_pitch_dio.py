@@ -1,0 +1,146 @@
+"""Pitch-extractor validation on speech-like fixtures (VERDICT round-1 #5).
+
+The reference's pitch targets come from pyworld DIO+StoneMask (espnet Dio,
+`src/tools/tools_for_data.py:134-139`). pyworld is unavailable here, so
+`dsp/dio.py` reimplements the algorithms; these tests bound both DIO and
+the NCCF tracker against known ground-truth F0 on a synthetic utterance
+with the statistics of real speech: a glottal-rich vibrato voiced span
+shaped by formant resonators, an unvoiced fricative span, and silence.
+"""
+
+import numpy as np
+import pytest
+
+SR = 22050
+HOP = 256
+
+
+def _resonate(s, fc, bw, sr=SR):
+    from scipy.signal import lfilter
+
+    r = np.exp(-np.pi * bw / sr)
+    theta = 2 * np.pi * fc / sr
+    return lfilter([1 - 2 * r * np.cos(theta) + r * r],
+                   [1, -2 * r * np.cos(theta), r * r], s)
+
+
+def speech_fixture(seed=0):
+    """(audio, frame ground-truth F0 in Hz (0 = unvoiced)).
+
+    Layout: 0.15s silence | 0.8s voiced vibrato (135..175 Hz) | 0.25s
+    unvoiced fricative | 0.1s silence.
+    """
+    rng = np.random.RandomState(seed)
+    sil1 = np.zeros(int(0.15 * SR))
+    nv = int(0.8 * SR)
+    t = np.arange(nv) / SR
+    f0 = 155 + 20 * np.sin(2 * np.pi * 2.5 * t)
+    phase = 2 * np.pi * np.cumsum(f0) / SR
+    voiced = sum(np.sin(h * phase) / h for h in range(1, 30))
+    for fc, bw in [(600, 90), (1400, 120), (2600, 220)]:
+        voiced = _resonate(voiced, fc, bw)
+    voiced = voiced / np.max(np.abs(voiced))
+    voiced += rng.randn(nv) * 0.01  # light additive noise
+    nf = int(0.25 * SR)
+    fric = _resonate(rng.randn(nf), 4500, 1500) * 0.15
+    sil2 = np.zeros(int(0.1 * SR))
+    audio = np.concatenate([sil1, voiced, fric, sil2]).astype(np.float64)
+
+    n_frames = int(len(audio) / SR / (HOP / SR)) + 1
+    ft = np.arange(n_frames) * HOP / SR
+    gt = np.zeros(n_frames)
+    v0, v1 = 0.15, 0.15 + 0.8
+    in_v = (ft >= v0) & (ft < v1)
+    gt[in_v] = 155 + 20 * np.sin(2 * np.pi * 2.5 * (ft[in_v] - v0))
+    return audio, ft, gt
+
+
+def _score(f0_hz, gt, margin=3):
+    """(voicing recall, voicing false-alarm rate, voiced log-F0 RMSE).
+
+    ``margin`` frames around voicing boundaries are excluded (frame-centred
+    windows straddle the boundary there by construction).
+    """
+    v_gt = gt > 0
+    edges = np.nonzero(np.diff(v_gt.astype(int)))[0]
+    keep = np.ones(len(gt), bool)
+    for e in edges:
+        keep[max(0, e - margin) : e + margin + 1] = False
+    v_est = f0_hz > 0
+    recall = (v_est & v_gt & keep).sum() / max((v_gt & keep).sum(), 1)
+    false_alarm = (v_est & ~v_gt & keep).sum() / max((~v_gt & keep).sum(), 1)
+    both = v_est & v_gt & keep
+    rmse = float(
+        np.sqrt(np.mean((np.log(f0_hz[both]) - np.log(gt[both])) ** 2))
+    ) if both.any() else np.inf
+    return recall, false_alarm, rmse
+
+
+def test_dio_tracks_speech_fixture():
+    from viet_tts_tpu.dsp.dio import dio, stonemask
+
+    audio, ft, gt = speech_fixture()
+    f0, t = dio(audio, SR, hop_length=HOP)
+    f0 = stonemask(audio, f0, t, SR)
+    recall, fa, rmse = _score(f0[: len(gt)], gt)
+    assert recall > 0.90, recall
+    assert fa < 0.10, fa
+    assert rmse < 0.02, rmse  # < ~2% (35 cents); typical DIO-grade accuracy
+
+
+def test_stonemask_corrects_coarse_contour():
+    """StoneMask's job: pull a coarse/perturbed DIO contour back onto the
+    true instantaneous frequency."""
+    from viet_tts_tpu.dsp.dio import dio, stonemask
+
+    audio, ft, gt = speech_fixture()
+    f0, t = dio(audio, SR, hop_length=HOP)
+    rng = np.random.RandomState(0)
+    perturbed = f0 * np.where(
+        f0 > 0, 1.0 + 0.04 * rng.uniform(-1, 1, f0.shape), 1.0
+    )
+    _, _, rmse_pert = _score(perturbed[: len(gt)], gt)
+    refined = stonemask(audio, perturbed, t, SR)
+    _, _, rmse_ref = _score(refined[: len(gt)], gt)
+    assert rmse_pert > 0.015  # the perturbation is material
+    assert rmse_ref < rmse_pert / 3, (rmse_pert, rmse_ref)
+    assert rmse_ref < 0.006, rmse_ref
+
+
+def test_nccf_bounded_against_ground_truth():
+    """The fast NCCF tracker stays within DIO-grade bounds on the same
+    fixture (voicing agreement + voiced log-F0 RMSE)."""
+    from viet_tts_tpu.dsp.pitch import extract_f0
+
+    audio, ft, gt = speech_fixture()
+    logf0 = extract_f0(audio, SR, HOP, use_log_f0=False, target_len=len(gt))
+    recall, fa, rmse = _score(logf0, gt)
+    assert recall > 0.90, recall
+    assert fa < 0.15, fa
+    assert rmse < 0.02, rmse
+
+
+def test_dio_and_nccf_agree_on_voiced_frames():
+    from viet_tts_tpu.dsp.dio import extract_f0_dio
+    from viet_tts_tpu.dsp.pitch import extract_f0
+
+    audio, ft, gt = speech_fixture()
+    a = extract_f0_dio(audio, SR, HOP, target_len=len(gt))
+    b = extract_f0(audio, SR, HOP, target_len=len(gt))
+    both = (a > 0) & (b > 0)
+    # voiced span is ~62% of the fixture; require most of it agreed-voiced
+    assert both.sum() > 0.85 * (gt > 0).sum()
+    assert float(np.sqrt(np.mean((a[both] - b[both]) ** 2))) < 0.02
+
+
+def test_extract_f0_dio_output_contract():
+    """log-F0, zeros at unvoiced, exact target_len (espnet Dio contract)."""
+    from viet_tts_tpu.dsp.dio import extract_f0_dio
+
+    audio, ft, gt = speech_fixture()
+    out = extract_f0_dio(audio, SR, HOP, target_len=97)
+    assert out.shape == (97,) and out.dtype == np.float32
+    voiced = out[out > 0]
+    assert voiced.size and (voiced > np.log(70)).all() and (
+        voiced < np.log(500)
+    ).all()

@@ -28,6 +28,7 @@ from viet_tts_tpu.dsp import (
     log_mel_from_config,
     read_wav,
 )
+from viet_tts_tpu.dsp.dio import extract_f0_dio
 from viet_tts_tpu.dsp.pitch import extract_f0
 from viet_tts_tpu.ops.prior import beta_binomial_prior
 
@@ -124,9 +125,19 @@ def prepare_inputs(
         if "feat" in need:
             np.save(entry["feat"], mel.astype(np.float32))
         if "pitch" in need:
-            f0 = extract_f0(
-                audio, sr, hparams["stft"]["hop_length"], target_len=mel.shape[0]
-            )
+            # "dio" (default) matches the reference's espnet Dio+StoneMask
+            # semantics (`tools_for_data.py:134-139`); "nccf" is the faster
+            # autocorrelation tracker
+            if hparams.get("pitch_extractor", "dio") == "dio":
+                f0 = extract_f0_dio(
+                    audio, sr, hparams["stft"]["hop_length"],
+                    target_len=mel.shape[0],
+                )
+            else:
+                f0 = extract_f0(
+                    audio, sr, hparams["stft"]["hop_length"],
+                    target_len=mel.shape[0],
+                )
             np.save(entry["pitch"], f0)
         if "energy" in need:
             en = np.asarray(frame_energy(jnp.asarray(audio)[None], hparams))[0]
