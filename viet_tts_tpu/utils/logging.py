@@ -29,9 +29,17 @@ class TensorLogger:
     """Scalar logger writing train/<k> or valid/<k> per split."""
 
     def __init__(self, log_dir: str, split: str = "train"):
-        from tensorboardX import SummaryWriter
+        try:
+            from tensorboardX import SummaryWriter
 
-        self.writer = SummaryWriter(log_dir)
+            self.writer = SummaryWriter(log_dir)
+        except ImportError:  # keep training alive without tensorboardX
+            import warnings
+
+            warnings.warn(
+                "tensorboardX unavailable: TensorBoard logging disabled"
+            )
+            self.writer = None
         self.split = split
 
     def log(
@@ -40,6 +48,8 @@ class TensorLogger:
         step: int,
         lr: Optional[float] = None,
     ) -> None:
+        if self.writer is None:
+            return
         for k, v in losses.items():
             self.writer.add_scalar(f"{self.split}/{k}", float(v), step)
         if lr is not None:
@@ -48,6 +58,8 @@ class TensorLogger:
     def log_histograms(self, params, step: int) -> None:
         """Full parameter histograms (reference logs these each validation,
         `log/logger.py:16-36`)."""
+        if self.writer is None:
+            return
         import jax
         import numpy as np
 
@@ -59,7 +71,8 @@ class TensorLogger:
             self.writer.add_histogram(name, np.asarray(leaf).ravel(), step)
 
     def close(self):
-        self.writer.close()
+        if self.writer is not None:
+            self.writer.close()
 
 
 class StepTimer:
