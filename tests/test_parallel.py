@@ -1,0 +1,165 @@
+"""Multi-device (data-parallel) TRAINING tests on the 8-device CPU mesh.
+
+SURVEY §4(d): sharded-step coverage as first-class CI, not only via the
+driver's `__graft_entry__.dryrun_multichip`. Asserts the GSPMD-sharded step
+computes the same global loss as the unsharded step (sharding is operand
+placement, not math).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import __graft_entry__ as ge
+from viet_tts_tpu.parallel.mesh import make_mesh, shard_batch
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the multi-device CPU mesh (tests/conftest.py)")
+    return make_mesh(len(jax.devices()))
+
+
+def _fs2_setup(n_devices):
+    from viet_tts_tpu.models.fastspeech2 import FastSpeech2Loss
+    from viet_tts_tpu.train.state import TrainState, adamw_with_clip, init_on_cpu
+    from viet_tts_tpu.train.steps import make_fs2_train_step
+
+    conf = ge._tiny_conf()
+    m = conf["models"]["fastspeech2"]
+    m.update(encoder_layers=1, encoder_hidden=32, decoder_layers=1,
+             decoder_hidden=32)
+    m["building_block"]["block_type"] = "transformer"
+    m["building_block"]["transformer"]["conv_filter_size"] = 64
+    m["vcae"].update(conv_layers=3, conv_chans_list=[8, 8, 16], gru_units=16)
+    m["postnet"].update(embedding_dim=32, conv_layers=3)
+    m["variance"]["variance_predictor"]["filter_size"] = 16
+    m["variance"]["variance_embedding"]["n_bins"] = 16
+
+    model = ge._make_model(conf)
+    B, T_text, T_mel = n_devices * 2, 16, 64
+    rng = np.random.RandomState(0)
+    batch = dict(
+        text=rng.randint(1, 131, (B, T_text)).astype(np.int32),
+        text_lengths=np.full(B, T_text, np.int32),
+        feats=rng.randn(B, T_mel, 80).astype(np.float32),
+        feats_lengths=np.full(B, T_mel, np.int32),
+        duration=rng.rand(B, T_mel, T_text).astype(np.float32),
+        pitch=rng.randn(B, T_mel).astype(np.float32),
+        energy=rng.randn(B, T_mel).astype(np.float32),
+        sids=np.zeros(B, np.int32),
+        aids=np.zeros(B, np.int32),
+        word_ids=np.zeros((B, T_text), np.int32),
+    )
+    key = jax.random.PRNGKey(0)
+    variables = init_on_cpu(
+        model.init,
+        {"params": key, "dropout": key, "reparam": key},
+        text=jnp.asarray(batch["text"]),
+        text_lengths=jnp.asarray(batch["text_lengths"]),
+        feats=jnp.asarray(batch["feats"]),
+        feats_lengths=jnp.asarray(batch["feats_lengths"]),
+        duration=jnp.asarray(batch["duration"]),
+        pitch=jnp.asarray(batch["pitch"]),
+        energy=jnp.asarray(batch["energy"]),
+        sids=jnp.asarray(batch["sids"]),
+        aids=jnp.asarray(batch["aids"]),
+        step=0,
+        train=True,
+    )
+    criterion = FastSpeech2Loss(
+        {
+            "linbuild": {"start": 1e-4, "stop": 5e-4, "n_up": 10, "n_stop": 35},
+            "dur_loss_lambda": {"pdur": 1.0, "wdur": 0.0, "sdur": 0.0},
+            "binarization_loss_warmup_steps": 10,
+            "binarization_loss_enable_steps": 18,
+            "pitch_feature_level": "phoneme_level",
+            "energy_feature_level": "phoneme_level",
+        }
+    )
+
+    def make_state():
+        return TrainState.create(
+            apply_fn=model.apply,
+            params=variables["params"],
+            tx=adamw_with_clip(2e-4),
+            batch_stats=variables.get("batch_stats", {}),
+        )
+
+    return model, criterion, make_state, batch
+
+
+def test_fs2_sharded_step_matches_single_device(mesh):
+    """One data-parallel FS2 training step over the mesh == unsharded step:
+    same loss, same updated params."""
+    from viet_tts_tpu.train.steps import make_fs2_train_step
+
+    n = mesh.devices.size
+    model, criterion, make_state, batch = _fs2_setup(n)
+    step = jax.jit(make_fs2_train_step(model, criterion))
+    key = jax.random.PRNGKey(0)
+
+    sharded = shard_batch(mesh, batch)
+    state_s, metrics_s = step(make_state(), batch, key)
+    state_m, metrics_m = step(make_state(), sharded, key)
+
+    for k in metrics_s:
+        np.testing.assert_allclose(
+            float(metrics_m[k]), float(metrics_s[k]), rtol=1e-4, atol=1e-6,
+            err_msg=k,
+        )
+    # NOTE: raw post-Adam params are NOT compared leaf-by-leaf — at step 1
+    # v~0, so update ~ lr*sign(grad) and reduction-order noise in near-zero
+    # grads flips signs. The integrated check: a SECOND step's loss (which
+    # feeds through the updated params) must still agree.
+    _, metrics_s2 = step(state_s, batch, jax.random.fold_in(key, 1))
+    _, metrics_m2 = step(state_m, sharded, jax.random.fold_in(key, 1))
+    np.testing.assert_allclose(
+        float(metrics_m2["total"]), float(metrics_s2["total"]), rtol=2e-3
+    )
+
+
+def test_fs2_sharded_steps_iterate(mesh):
+    """Three consecutive sharded steps keep finite, decreasing-ish losses
+    (optimizer state stays consistent under GSPMD)."""
+    from viet_tts_tpu.train.steps import make_fs2_train_step
+
+    n = mesh.devices.size
+    model, criterion, make_state, batch = _fs2_setup(n)
+    step = jax.jit(make_fs2_train_step(model, criterion))
+    key = jax.random.PRNGKey(0)
+    state = make_state()
+    sharded = shard_batch(mesh, batch)
+    totals = []
+    for i in range(3):
+        state, metrics = step(state, sharded, jax.random.fold_in(key, i))
+        totals.append(float(metrics["total"]))
+    assert all(np.isfinite(t) for t in totals), totals
+    assert totals[-1] < totals[0], totals
+
+
+def test_jets_gan_sharded_step(mesh):
+    """One sharded JETS adversarial step (generator + discriminator
+    updates) runs on the mesh with finite losses."""
+    ge._dryrun_jets_gan(mesh, mesh.devices.size)
+
+
+def test_fs2_mixed_precision_train_step():
+    """bf16 mixed-precision step (train.mixed_precision): finite losses,
+    close to the fp32 step, params stay fp32."""
+    from viet_tts_tpu.train.steps import make_fs2_train_step
+
+    model, criterion, make_state, batch = _fs2_setup(2)
+    key = jax.random.PRNGKey(0)
+    step32 = jax.jit(make_fs2_train_step(model, criterion))
+    step16 = jax.jit(make_fs2_train_step(model, criterion, mixed_precision=True))
+    state32, m32 = step32(make_state(), batch, key)
+    state16, m16 = step16(make_state(), batch, key)
+    assert np.isfinite(float(m16["total"]))
+    np.testing.assert_allclose(
+        float(m16["total"]), float(m32["total"]), rtol=5e-2
+    )
+    for leaf in jax.tree_util.tree_leaves(state16.params):
+        assert leaf.dtype == jnp.float32

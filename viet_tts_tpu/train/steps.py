@@ -17,9 +17,29 @@ from viet_tts_tpu.models.fastspeech2.loss import total_loss
 from viet_tts_tpu.train.state import TrainState
 
 
-def make_fs2_train_step(model, criterion) -> Callable:
+def cast_tree(tree, dtype):
+    """Cast every floating leaf; non-float leaves pass through."""
+    return jax.tree_util.tree_map(
+        lambda x: (
+            x.astype(dtype)
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+            else x
+        ),
+        tree,
+    )
+
+
+def make_fs2_train_step(model, criterion, mixed_precision: bool = False) -> Callable:
     """FastSpeech2/AdaSpeech acoustic train step
-    (role of `fastspeech2_trainer.py:125-148`)."""
+    (role of `fastspeech2_trainer.py:125-148`).
+
+    mixed_precision=True runs the forward/backward in bfloat16 (params and
+    float inputs cast inside the loss; the MXU runs bf16 at 2x fp32 and HBM
+    traffic halves) while the master params, optimizer state and loss
+    reductions stay float32 — the standard TPU training posture. bf16's
+    8-bit exponent matches fp32's range, so no loss scaling is needed.
+    """
+    half = jnp.bfloat16
 
     def train_step(
         state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array
@@ -28,22 +48,34 @@ def make_fs2_train_step(model, criterion) -> Callable:
         drop_rng, rep_rng = jax.random.split(step_rng)
 
         def loss_fn(params):
+            if mixed_precision:
+                params = cast_tree(params, half)
+                bstats = cast_tree(state.batch_stats, half)
+                fwd_batch = cast_tree(batch, half)
+            else:
+                bstats = state.batch_stats
+                fwd_batch = batch
             (y_pred, y_extra), mut = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                text=batch["text"],
-                text_lengths=batch["text_lengths"],
-                feats=batch["feats"],
-                feats_lengths=batch["feats_lengths"],
-                duration=batch["duration"],
-                pitch=batch["pitch"],
-                energy=batch["energy"],
-                sids=batch["sids"],
-                aids=batch["aids"],
+                {"params": params, "batch_stats": bstats},
+                text=fwd_batch["text"],
+                text_lengths=fwd_batch["text_lengths"],
+                feats=fwd_batch["feats"],
+                feats_lengths=fwd_batch["feats_lengths"],
+                duration=fwd_batch["duration"],
+                pitch=fwd_batch["pitch"],
+                energy=fwd_batch["energy"],
+                sids=fwd_batch["sids"],
+                aids=fwd_batch["aids"],
                 step=state.step,
                 train=True,
                 rngs={"dropout": drop_rng, "reparam": rep_rng},
                 mutable=["batch_stats"],
             )
+            if mixed_precision:
+                # losses reduce in fp32 against the fp32 targets
+                y_pred = cast_tree(y_pred, jnp.float32)
+                y_extra = cast_tree(y_extra, jnp.float32)
+                mut = cast_tree(mut, jnp.float32)
             targets = (
                 batch["feats"],
                 batch["word_ids"],

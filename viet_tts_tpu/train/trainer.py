@@ -323,7 +323,14 @@ class FastSpeech2Trainer(BaseTrainer):
         )
         self.try_resume()
         self.train_step = jax.jit(
-            make_fs2_train_step(self.model, self.criterion), donate_argnums=(0,)
+            make_fs2_train_step(
+                self.model,
+                self.criterion,
+                mixed_precision=bool(
+                    self.conf["train"].get("mixed_precision", False)
+                ),
+            ),
+            donate_argnums=(0,),
         )
         self.valid_step = jax.jit(make_fs2_valid_step(self.model, self.criterion))
 
