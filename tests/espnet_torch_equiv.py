@@ -768,6 +768,47 @@ def get_random_segments(x, x_lengths, segment_size):
     return segments, start_idxs
 
 
+def _maximum_path_each(value, t_x, t_y, max_neg=-1e9):
+    """VITS monotonic_align core (numpy, per-utterance)."""
+    path = np.zeros((value.shape[0], value.shape[1]), dtype=np.float32)
+    for y in range(t_y):
+        for x in range(max(0, t_x + y - t_y), min(t_x, y + 1)):
+            v_cur = max_neg if x == y else value[x, y - 1]
+            if x == 0:
+                v_prev = 0.0 if y == 0 else max_neg
+            else:
+                v_prev = value[x - 1, y - 1]
+            value[x, y] = max(v_cur, v_prev) + value[x, y]
+    index = t_x - 1
+    for y in range(t_y - 1, -1, -1):
+        path[index, y] = 1.0
+        if index != 0 and (
+            index == y or value[index, y - 1] < value[index - 1, y - 1]
+        ):
+            index -= 1
+    return path
+
+
+def vits_maximum_path(neg_cent, mask):
+    """espnet2.gan_tts.vits.monotonic_align.maximum_path equivalent.
+
+    neg_cent/mask: (B, t_x, t_y) torch tensors; returns the hard monotonic
+    path maximising the masked score.
+    """
+    import numpy as _np
+
+    device, dtype = neg_cent.device, neg_cent.dtype
+    v = (neg_cent * mask).detach().cpu().numpy().astype(_np.float64)
+    t_xs = mask[:, :, 0].sum(1).cpu().numpy().astype(int)
+    t_ys = mask[:, 0, :].sum(1).cpu().numpy().astype(int)
+    paths = _np.zeros_like(v, dtype=_np.float32)
+    for b in range(v.shape[0]):
+        paths[b, : t_xs[b], : t_ys[b]] = _maximum_path_each(
+            v[b, : t_xs[b], : t_ys[b]].copy(), int(t_xs[b]), int(t_ys[b])
+        )
+    return torch.from_numpy(paths).to(device=device, dtype=dtype)
+
+
 def initialize(model, init):
     """espnet2 initialize: weight init on dim>1, zero biases, then reset
     Embedding/LayerNorm/GroupNorm to their default init."""
@@ -865,6 +906,10 @@ def install(reference_root="/root/reference"):
         get_segments=get_segments,
     )
     _module("espnet2.torch_utils.initialize", initialize=initialize)
+    vits_pkg = _module("espnet2.gan_tts.vits")
+    vits_pkg.monotonic_align = _module(
+        "espnet2.gan_tts.vits.monotonic_align", maximum_path=vits_maximum_path
+    )
 
     numba = sys.modules.get("numba")
     if numba is None:

@@ -605,3 +605,146 @@ def test_jets_conformer_legacy_forward_parity():
     """espnet conformer 'legacy' rel-pos variant (the reference's
     compatibility fallback, `jets/model.py:272-293`)."""
     _jets_forward_parity(_jets_conformer_hp("legacy"), atol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# VITS2 import parity
+# ---------------------------------------------------------------------------
+
+VITS2_HP = {
+    "segment_size": 48,
+    "inter_channels": 32,
+    "hidden_channels": 32,
+    "filter_channels": 64,
+    "n_heads": 2,
+    "n_layers": 3,  # reference asserts cond_layer_idx(2) < n_layers
+    "kernel_size": 3,
+    "p_dropout": 0.1,
+    "resblock": "1",
+    "resblock_kernel_sizes": [3],
+    "resblock_dilation_sizes": [[1, 3, 5]],  # ResBlock1 hardcodes 3 dilations
+    "upsample_rates": [4, 3],
+    "upsample_initial_channel": 16,
+    "upsample_kernel_sizes": [8, 6],
+    "gin_channels": 16,
+    "use_sdp": True,
+    "use_mel_posterior_encoder": True,
+    "use_transformer_flows": True,
+    "transformer_flow_type": "pre_conv",
+    "use_spk_conditioned_encoder": True,
+    "use_noise_scaled_mas": True,
+    # the reference hardcodes 16 posterior WN layers (`generator.py:116-124`)
+    "n_layers_q": 16,
+}
+
+
+def _load_reference_vits2():
+    import importlib
+
+    from tests import espnet_torch_equiv
+
+    espnet_torch_equiv.install(str(REFERENCE))
+    sys.path.insert(0, str(REFERENCE))
+    try:
+        mod = importlib.import_module("models.gan_tts.vits2.generator")
+    finally:
+        sys.path.remove(str(REFERENCE))
+    return mod.VITS2
+
+
+def _vits2_pair(hp, seed=0, n_symbols=90, spks=3):
+    import torch
+
+    from viet_tts_tpu.models.vits2 import VITS2 as FlaxVITS2
+    from viet_tts_tpu.train.torch_import import import_vits2
+
+    TorchVITS2 = _load_reference_vits2()
+    torch.manual_seed(seed)
+    tm = TorchVITS2(
+        n_vocab=n_symbols, spec_channels=80, n_speakers=spks, **hp
+    ).eval()
+    fm = FlaxVITS2(n_symbols=n_symbols, hparams=dict(hp), n_speakers=spks)
+    variables = import_vits2(tm.state_dict(), hp)
+    return tm, fm, variables
+
+
+@pytest.mark.skipif(not REFERENCE.exists(), reason="reference not mounted")
+def test_vits2_import_tree_matches_init():
+    import jax
+    import jax.numpy as jnp
+    from flax import traverse_util
+
+    tm, fm, variables = _vits2_pair(VITS2_HP)
+    rng = np.random.RandomState(0)
+    key = jax.random.PRNGKey(0)
+    B, T_text, T_spec = 2, 9, 24
+    init = fm.init(
+        {"params": key, "dropout": key, "noise": key, "segment": key},
+        text=jnp.asarray(rng.randint(1, 90, (B, T_text))),
+        text_lengths=jnp.asarray([T_text, 7]),
+        feats=jnp.asarray(rng.randn(B, T_spec, 80), jnp.float32),
+        feats_lengths=jnp.asarray([T_spec, 20]),
+        sids=jnp.asarray([0, 1]),
+        train=True,
+    )
+    got = set(traverse_util.flatten_dict(variables["params"]))
+    want = set(traverse_util.flatten_dict(init["params"]))
+    assert got == want, (sorted(want - got)[:8], sorted(got - want)[:8])
+
+
+def _vits2_inference_parity(hp, atol=2e-3):
+    """Deterministic full-stack inference parity (noise scales 0): text
+    encoder, duration predictor (SDP reverse or deterministic DP), flow
+    reverse, waveform decoder (`vits2/generator.py:233-268`)."""
+    import torch
+    import jax.numpy as jnp
+
+    tm, fm, variables = _vits2_pair(hp)
+    rng = np.random.RandomState(4)
+    text = rng.randint(1, 90, (1, 11))
+    lens = np.asarray([11])
+    sids = np.asarray([2])
+
+    with torch.no_grad():
+        t_wav, t_wl = tm.inference(
+            torch.from_numpy(sids).long(),
+            torch.from_numpy(text).long(),
+            torch.from_numpy(lens).long(),
+            d_control=1.0,
+            noise_scale=0.0,
+            noise_scale_w=0.0,
+        )
+    up = int(np.prod(hp["upsample_rates"]))
+    frames = t_wav.shape[-1] // up
+
+    j_wav, j_wl = fm.apply(
+        variables,
+        jnp.asarray(sids),
+        jnp.asarray(text),
+        jnp.asarray(lens),
+        int(frames),
+        noise_scale=0.0,
+        noise_scale_w=0.0,
+        method=fm.inference,
+        rngs={"noise": __import__("jax").random.PRNGKey(0)},
+    )
+    assert int(j_wl[0]) == int(t_wl[0])
+    np.testing.assert_allclose(
+        np.asarray(j_wav)[0], t_wav.numpy()[0, 0], atol=atol
+    )
+
+
+@pytest.mark.skipif(not REFERENCE.exists(), reason="reference not mounted")
+def test_vits2_inference_parity_pre_conv_sdp():
+    _vits2_inference_parity(VITS2_HP)
+
+
+@pytest.mark.skipif(not REFERENCE.exists(), reason="reference not mounted")
+def test_vits2_inference_parity_mono_layer_deterministic_dp():
+    hp = dict(VITS2_HP)
+    hp.update(
+        transformer_flow_type="mono_layer_post_residual",
+        use_sdp=False,
+        use_spk_conditioned_encoder=False,
+    )
+    _vits2_inference_parity(hp)

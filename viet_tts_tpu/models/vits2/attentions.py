@@ -160,7 +160,7 @@ class VitsEncoder(nn.Module):
                 name=f"attn_{i}",
             )(x, x, attn_mask, train=train)
             y = nn.Dropout(self.p_dropout)(y, deterministic=not train)
-            x = nn.LayerNorm(name=f"norm1_{i}")(x + y)
+            x = nn.LayerNorm(epsilon=1e-5, name=f"norm1_{i}")(x + y)
             y = MaskedFFN(
                 self.filter_channels,
                 self.hidden_channels,
@@ -169,7 +169,7 @@ class VitsEncoder(nn.Module):
                 name=f"ffn_{i}",
             )(x, x_mask, train=train)
             y = nn.Dropout(self.p_dropout)(y, deterministic=not train)
-            x = nn.LayerNorm(name=f"norm2_{i}")(x + y)
+            x = nn.LayerNorm(epsilon=1e-5, name=f"norm2_{i}")(x + y)
         return x * x_mask
 
 
@@ -223,7 +223,7 @@ class CausalFFT(nn.Module):
                 name=f"attn_{i}",
             )(x, x, attn_mask, train=train)
             y = nn.Dropout(self.p_dropout)(y, deterministic=not train)
-            x = nn.LayerNorm(name=f"norm0_{i}")(x + y)
+            x = nn.LayerNorm(epsilon=1e-5, name=f"norm0_{i}")(x + y)
             y = MaskedFFN(
                 self.filter_channels,
                 self.hidden_channels,
@@ -233,5 +233,5 @@ class CausalFFT(nn.Module):
                 name=f"ffn_{i}",
             )(x, x_mask, train=train)
             y = nn.Dropout(self.p_dropout)(y, deterministic=not train)
-            x = nn.LayerNorm(name=f"norm1_{i}")(x + y)
+            x = nn.LayerNorm(epsilon=1e-5, name=f"norm1_{i}")(x + y)
         return x * x_mask

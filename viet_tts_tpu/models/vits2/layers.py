@@ -167,11 +167,11 @@ class VitsDurationPredictor(nn.Module):
             )
         h = nn.Conv(self.filter_channels, (self.kernel_size,), padding="SAME", name="conv_1")(x * x_mask)
         h = nn.relu(h)
-        h = nn.LayerNorm(name="norm_1")(h)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm_1")(h)
         h = nn.Dropout(self.p_dropout)(h, deterministic=not train)
         h = nn.Conv(self.filter_channels, (self.kernel_size,), padding="SAME", name="conv_2")(h * x_mask)
         h = nn.relu(h)
-        h = nn.LayerNorm(name="norm_2")(h)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm_2")(h)
         h = nn.Dropout(self.p_dropout)(h, deterministic=not train)
         return nn.Conv(1, (1,), name="proj")(h * x_mask) * x_mask
 

@@ -40,10 +40,10 @@ class DDSConv(nn.Module):
                 padding="SAME",
                 name=f"conv_sep_{i}",
             )(x * x_mask)
-            y = nn.LayerNorm(name=f"norm1_{i}")(y)
+            y = nn.LayerNorm(epsilon=1e-5, name=f"norm1_{i}")(y)
             y = nn.gelu(y, approximate=False)
             y = nn.Conv(self.channels, (1,), name=f"conv_1x1_{i}")(y)
-            y = nn.LayerNorm(name=f"norm2_{i}")(y)
+            y = nn.LayerNorm(epsilon=1e-5, name=f"norm2_{i}")(y)
             y = nn.gelu(y, approximate=False)
             y = nn.Dropout(self.p_dropout)(y, deterministic=not train)
             x = x + y

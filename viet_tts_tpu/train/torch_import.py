@@ -712,3 +712,237 @@ def import_jets(state_dict: Dict[str, Any], hparams: Dict[str, Any],
     if stats:
         out["batch_stats"] = stats
     return out
+
+
+# ---------------------------------------------------------------------------
+# VITS2 (`models/gan_tts/vits2/generator.py`)
+# ---------------------------------------------------------------------------
+
+
+def _vits_ln_params(sd, prefix: str) -> Dict[str, Any]:
+    """VITS LayerNorm stores gamma/beta (`vits2/sublayers.py:11-23`)."""
+    return {
+        "scale": _to_np(sd[f"{prefix}.gamma"]),
+        "bias": _to_np(sd[f"{prefix}.beta"]),
+    }
+
+
+def _vits_attention_params(sd, prefix: str) -> Dict[str, Any]:
+    out = {
+        name: plain_conv1d_params(sd, f"{prefix}.{name}")
+        for name in ["conv_q", "conv_k", "conv_v", "conv_o"]
+    }
+    if f"{prefix}.emb_rel_k" in sd:
+        out["emb_rel_k"] = _to_np(sd[f"{prefix}.emb_rel_k"])
+        out["emb_rel_v"] = _to_np(sd[f"{prefix}.emb_rel_v"])
+    return out
+
+
+def _vits_encoder_params(sd, prefix: str, n_layers: int) -> Dict[str, Any]:
+    """VITS rel-pos Encoder (`vits2/attentions.py:11-91`) ->
+    our VitsEncoder."""
+    out: Dict[str, Any] = {}
+    if f"{prefix}.spk_emb_linear.weight" in sd:
+        out["spk_emb_linear"] = linear_params(sd, f"{prefix}.spk_emb_linear")
+    for i in range(n_layers):
+        out[f"attn_{i}"] = _vits_attention_params(sd, f"{prefix}.attn_layers.{i}")
+        out[f"norm1_{i}"] = _vits_ln_params(sd, f"{prefix}.norm_layers_1.{i}")
+        out[f"ffn_{i}"] = {
+            "conv_1": plain_conv1d_params(sd, f"{prefix}.ffn_layers.{i}.conv_1"),
+            "conv_2": plain_conv1d_params(sd, f"{prefix}.ffn_layers.{i}.conv_2"),
+        }
+        out[f"norm2_{i}"] = _vits_ln_params(sd, f"{prefix}.norm_layers_2.{i}")
+    return out
+
+
+def _wn_params(sd, prefix: str, n_layers: int) -> Dict[str, Any]:
+    """WaveNet WN stack (`vits2/sublayers.py:127-213`) -> our WN."""
+    out: Dict[str, Any] = {}
+    for i in range(n_layers):
+        out[f"in_{i}"] = conv1d_params(
+            sd, f"{prefix}.in_layers.{i}", weight_norm=True
+        )
+        out[f"res_skip_{i}"] = conv1d_params(
+            sd, f"{prefix}.res_skip_layers.{i}", weight_norm=True
+        )
+    if (
+        f"{prefix}.cond_layer.weight_v" in sd
+        or f"{prefix}.cond_layer.weight" in sd
+    ):
+        out["cond_layer"] = conv1d_params(
+            sd, f"{prefix}.cond_layer", weight_norm=True
+        )
+    return out
+
+
+def _wn_layer_count(sd, prefix: str) -> int:
+    n = 0
+    while f"{prefix}.in_layers.{n}.weight_v" in sd or (
+        f"{prefix}.in_layers.{n}.weight" in sd
+    ):
+        n += 1
+    return n
+
+
+def _dds_conv_params(sd, prefix: str, n_layers: int = 3) -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    for i in range(n_layers):
+        out[f"conv_sep_{i}"] = plain_conv1d_params(sd, f"{prefix}.convs_sep.{i}")
+        out[f"conv_1x1_{i}"] = plain_conv1d_params(sd, f"{prefix}.convs_1x1.{i}")
+        out[f"norm1_{i}"] = _vits_ln_params(sd, f"{prefix}.norms_1.{i}")
+        out[f"norm2_{i}"] = _vits_ln_params(sd, f"{prefix}.norms_2.{i}")
+    return out
+
+
+def _conv_flow_params(sd, prefix: str) -> Dict[str, Any]:
+    return {
+        "pre": plain_conv1d_params(sd, f"{prefix}.pre"),
+        "convs": _dds_conv_params(sd, f"{prefix}.convs", 3),
+        "proj": plain_conv1d_params(sd, f"{prefix}.proj"),
+    }
+
+
+def _elementwise_affine_params(sd, prefix: str) -> Dict[str, Any]:
+    return {
+        "m": _to_np(sd[f"{prefix}.m"]).reshape(-1),
+        "logs": _to_np(sd[f"{prefix}.logs"]).reshape(-1),
+    }
+
+
+def _sdp_params(sd, prefix: str, n_flows: int = 4) -> Dict[str, Any]:
+    """StochasticDurationPredictor (`vits2/layers.py:188-297`)."""
+    out: Dict[str, Any] = {
+        "pre": plain_conv1d_params(sd, f"{prefix}.pre"),
+        "proj": plain_conv1d_params(sd, f"{prefix}.proj"),
+        "convs": _dds_conv_params(sd, f"{prefix}.convs", 3),
+        "post_pre": plain_conv1d_params(sd, f"{prefix}.post_pre"),
+        "post_proj": plain_conv1d_params(sd, f"{prefix}.post_proj"),
+        "post_convs": _dds_conv_params(sd, f"{prefix}.post_convs", 3),
+    }
+    if f"{prefix}.cond.weight" in sd:
+        out["cond"] = plain_conv1d_params(sd, f"{prefix}.cond")
+    for group in ("flows", "post_flows"):
+        out[f"{group}_0"] = _elementwise_affine_params(sd, f"{prefix}.{group}.0")
+        for i in range(n_flows):
+            j = 1 + 2 * i  # ConvFlow positions (odd); even are paramless Flips
+            out[f"{group}_{j}"] = _conv_flow_params(sd, f"{prefix}.{group}.{j}")
+    return out
+
+
+def _vits_dp_params(sd, prefix: str) -> Dict[str, Any]:
+    """Deterministic DurationPredictor (`vits2/layers.py:299-340`)."""
+    out = {
+        "conv_1": plain_conv1d_params(sd, f"{prefix}.conv_1"),
+        "norm_1": _vits_ln_params(sd, f"{prefix}.norm_1"),
+        "conv_2": plain_conv1d_params(sd, f"{prefix}.conv_2"),
+        "norm_2": _vits_ln_params(sd, f"{prefix}.norm_2"),
+        "proj": plain_conv1d_params(sd, f"{prefix}.proj"),
+    }
+    if f"{prefix}.cond.weight" in sd:
+        out["cond"] = plain_conv1d_params(sd, f"{prefix}.cond")
+    return out
+
+
+def _vits_generator_params(sd, prefix: str, hp: Dict[str, Any]) -> Dict[str, Any]:
+    """latent->waveform Generator (`vits2/layers.py:107-186`)."""
+    out: Dict[str, Any] = {
+        "conv_pre": plain_conv1d_params(sd, f"{prefix}.conv_pre"),
+        "conv_post": plain_conv1d_params(sd, f"{prefix}.conv_post"),
+    }
+    if f"{prefix}.cond.weight" in sd:
+        out["cond"] = plain_conv1d_params(sd, f"{prefix}.cond")
+    kernels = hp["resblock_kernel_sizes"]
+    dils = hp["resblock_dilation_sizes"]
+    two_convs = str(hp.get("resblock", "1")) == "1"
+    for i in range(len(hp["upsample_rates"])):
+        out[f"up_{i}"] = conv_transpose1d_params(sd, f"{prefix}.ups.{i}")
+        for j in range(len(kernels)):
+            flat = i * len(kernels) + j
+            blk: Dict[str, Any] = {}
+            for d in range(len(dils[j])):
+                if two_convs:
+                    blk[f"conv1_{d}"] = conv1d_params(
+                        sd, f"{prefix}.resblocks.{flat}.convs1.{d}",
+                        weight_norm=True,
+                    )
+                    blk[f"conv2_{d}"] = conv1d_params(
+                        sd, f"{prefix}.resblocks.{flat}.convs2.{d}",
+                        weight_norm=True,
+                    )
+                else:
+                    blk[f"conv_{d}"] = conv1d_params(
+                        sd, f"{prefix}.resblocks.{flat}.convs.{d}",
+                        weight_norm=True,
+                    )
+            out[f"res_{i}_{j}"] = blk
+    return out
+
+
+def _vits_flow_block_params(sd, prefix: str, hp: Dict[str, Any]) -> Dict[str, Any]:
+    """ResidualCouplingTransformersBlock (`vits2/layers.py:342-472`)."""
+    ftype = hp.get("transformer_flow_type", "pre_conv")
+    if not hp.get("use_transformer_flows", True):
+        ftype = "none"
+    n_flows = hp.get("n_flows", 4)
+    mono = ftype in ("mono_layer_inter_residual", "mono_layer_post_residual")
+    per = 3 if mono else 2
+    out: Dict[str, Any] = {}
+    for fi in range(n_flows):
+        base = fi * per
+        lp = f"{prefix}.flows.{base}"
+        layer: Dict[str, Any] = {
+            "pre": plain_conv1d_params(sd, f"{lp}.pre"),
+            "enc": _wn_params(sd, f"{lp}.enc", _wn_layer_count(sd, f"{lp}.enc")),
+            "post": plain_conv1d_params(sd, f"{lp}.post"),
+        }
+        if ftype == "pre_conv":
+            layer["pre_transformer"] = _vits_encoder_params(
+                sd, f"{lp}.pre_transformer", 2
+            )
+        elif ftype == "pre_conv2":
+            layer["pre_transformer"] = _vits_encoder_params(
+                sd, f"{lp}.pre_transformer", 1
+            )
+        elif ftype == "fft":
+            raise NotImplementedError(
+                "fft coupling import not supported yet"
+            )
+        out[f"flows_{base}"] = layer
+        if mono:
+            out[f"flows_{base + 2}"] = {
+                "pre_transformer": _vits_encoder_params(
+                    sd, f"{prefix}.flows.{base + 2}.pre_transformer", 2
+                ),
+                "post": plain_conv1d_params(
+                    sd, f"{prefix}.flows.{base + 2}.post"
+                ),
+            }
+    return out
+
+
+def import_vits2(state_dict: Dict[str, Any], hparams: Dict[str, Any]) -> Dict[str, Any]:
+    """Reference `VITS2` state_dict -> flax variables {params}."""
+    sd = state_dict
+    hp = hparams
+    params: Dict[str, Any] = {
+        "emb_g": embed_params(sd, "emb_g"),
+        "enc_p": {
+            "emb": embed_params(sd, "enc_p.emb"),
+            "encoder": _vits_encoder_params(sd, "enc_p.encoder", hp["n_layers"]),
+            "proj": plain_conv1d_params(sd, "enc_p.proj"),
+        },
+        "enc_q": {
+            "pre": plain_conv1d_params(sd, "enc_q.pre"),
+            "enc": _wn_params(
+                sd, "enc_q.enc", _wn_layer_count(sd, "enc_q.enc")
+            ),
+            "proj": plain_conv1d_params(sd, "enc_q.proj"),
+        },
+        "dec": _vits_generator_params(sd, "dec", hp),
+        "flow": _vits_flow_block_params(sd, "flow", hp),
+    }
+    if hp.get("use_sdp", True):
+        params["dp"] = _sdp_params(sd, "dp", hp.get("sdp_n_flows", 4))
+    else:
+        params["dp"] = _vits_dp_params(sd, "dp")
+    return {"params": params}
