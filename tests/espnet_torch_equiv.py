@@ -940,3 +940,122 @@ def install(reference_root="/root/reference"):
     _module("espnet2.gan_tts.hifigan", HiFiGANGenerator=HiFiGAN)
     sys.modules["espnet2.gan_tts.hifigan.loss"] = hifigan_loss
     return HiFiGAN
+
+
+# ---------------------------------------------------------------------------
+# diffusers equivalents (for the reference Matcha UNet; diffusers is not
+# installed). Faithful to diffusers.models.attention_processor.Attention's
+# default processor semantics: a FLOAT attention_mask is ADDED to the
+# attention logits (baddbmm beta=1 / sdpa float attn_mask), not -inf-masked.
+# ---------------------------------------------------------------------------
+
+
+def maybe_allow_in_graph(cls):
+    return cls
+
+
+class LoRACompatibleLinear(nn.Linear):
+    pass
+
+
+class DiffusersAttention(nn.Module):
+    def __init__(self, query_dim, heads=8, dim_head=64, dropout=0.0,
+                 bias=False, cross_attention_dim=None, upcast_attention=False,
+                 **kwargs):
+        super().__init__()
+        inner_dim = dim_head * heads
+        self.heads = heads
+        self.scale = dim_head**-0.5
+        self.to_q = nn.Linear(query_dim, inner_dim, bias=bias)
+        self.to_k = nn.Linear(cross_attention_dim or query_dim, inner_dim, bias=bias)
+        self.to_v = nn.Linear(cross_attention_dim or query_dim, inner_dim, bias=bias)
+        self.to_out = nn.ModuleList([nn.Linear(inner_dim, query_dim), nn.Dropout(dropout)])
+
+    def _heads(self, x):
+        b, t, _ = x.shape
+        return (
+            x.view(b, t, self.heads, -1).permute(0, 2, 1, 3)
+            .reshape(b * self.heads, t, -1)
+        )
+
+    def forward(self, hidden_states, encoder_hidden_states=None,
+                attention_mask=None, **kwargs):
+        b, t, _ = hidden_states.shape
+        ctx = hidden_states if encoder_hidden_states is None else encoder_hidden_states
+        q = self._heads(self.to_q(hidden_states))
+        k = self._heads(self.to_k(ctx))
+        v = self._heads(self.to_v(ctx))
+        scores = torch.bmm(q, k.transpose(-1, -2)) * self.scale
+        if attention_mask is not None:
+            if attention_mask.shape[-1] != ctx.shape[1]:
+                attention_mask = F.pad(
+                    attention_mask, (0, ctx.shape[1] - attention_mask.shape[-1])
+                )
+            mask = attention_mask.repeat_interleave(self.heads, dim=0)
+            scores = scores + mask[:, None, :].to(scores.dtype)  # ADDITIVE
+        probs = scores.softmax(dim=-1)
+        out = torch.bmm(probs, v)
+        out = (
+            out.reshape(b, self.heads, t, -1).permute(0, 2, 1, 3)
+            .reshape(b, t, -1)
+        )
+        out = self.to_out[0](out)
+        return self.to_out[1](out)
+
+
+class DiffusersGELU(nn.Module):
+    def __init__(self, dim_in, dim_out, approximate="none"):
+        super().__init__()
+        self.proj = nn.Linear(dim_in, dim_out)
+        self.approximate = approximate
+
+    def forward(self, x):
+        return F.gelu(self.proj(x), approximate=self.approximate)
+
+
+class DiffusersGEGLU(nn.Module):
+    def __init__(self, dim_in, dim_out):
+        super().__init__()
+        self.proj = LoRACompatibleLinear(dim_in, dim_out * 2)
+
+    def forward(self, x):
+        h, gate = self.proj(x).chunk(2, dim=-1)
+        return h * F.gelu(gate)
+
+
+class DiffusersApproximateGELU(nn.Module):
+    def __init__(self, dim_in, dim_out):
+        super().__init__()
+        self.proj = nn.Linear(dim_in, dim_out)
+
+    def forward(self, x):
+        x = self.proj(x)
+        return x * torch.sigmoid(1.702 * x)
+
+
+class _AdaNormUnused(nn.Module):
+    def __init__(self, *a, **k):
+        super().__init__()
+        raise NotImplementedError("ada norm not used by the reference config")
+
+
+def install_diffusers():
+    """Register the diffusers equivalents (for the reference Matcha UNet)."""
+    _module("diffusers")
+    _module("diffusers.models")
+    _module(
+        "diffusers.models.attention",
+        GEGLU=DiffusersGEGLU,
+        GELU=DiffusersGELU,
+        ApproximateGELU=DiffusersApproximateGELU,
+        AdaLayerNorm=_AdaNormUnused,
+        AdaLayerNormZero=_AdaNormUnused,
+    )
+    _module(
+        "diffusers.models.attention_processor", Attention=DiffusersAttention
+    )
+    _module("diffusers.models.lora", LoRACompatibleLinear=LoRACompatibleLinear)
+    _module("diffusers.utils")
+    _module(
+        "diffusers.utils.torch_utils", maybe_allow_in_graph=maybe_allow_in_graph
+    )

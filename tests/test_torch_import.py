@@ -748,3 +748,427 @@ def test_vits2_inference_parity_mono_layer_deterministic_dp():
         use_spk_conditioned_encoder=False,
     )
     _vits2_inference_parity(hp)
+
+
+# ---------------------------------------------------------------------------
+# Matcha-TTS import parity
+# ---------------------------------------------------------------------------
+
+MATCHA_HP = {
+    "spk_dims": -1,
+    "use_cvae": False,
+    "spk_emb_dim": 16,
+    "text_encoder": {
+        "hidden_dim": 32,
+        "use_prenet": True,
+        "prenet": {"kernel_size": 5, "n_layers": 3, "p_dropout": 0.5},
+        "encoder": {
+            "filter_channels": 64,
+            "n_heads": 2,
+            "n_layers": 2,
+            "kernel_size": 3,
+            "p_dropout": 0.1,
+        },
+    },
+    "duration_modelling": {
+        "use_gaussian": True,
+        "aligner_temperature": 0.0005,
+        "binarization_start_steps": 6000,
+    },
+    "variance_predictor": {
+        "filter_size": 16,
+        "kernel_size": 3,
+        "dropout": 0.5,
+        "dur_predictor_layers": 2,
+        "dur_predictor_kernel": 3,
+        "pit_predictor_layers": 2,
+        "pit_predictor_kernel": 5,
+        "ener_predictor_layers": 2,
+        "ener_predictor_kernel": 5,
+        "ffn_padding": "SAME",
+        "ffn_act": "gelu",
+    },
+    "flow_matching": {"solver": "euler", "sigma_min": 1.0e-4},
+    "decoder": {
+        "channels": [32, 32],
+        "dropout": 0.05,
+        "attention_head_dim": 16,
+        "n_blocks": 1,
+        "num_mid_blocks": 1,
+        "num_heads": 2,
+        "act_fn": "snakebeta",
+    },
+}
+MATCHA_STATS = {"mel_mean": 0.0, "mel_std": 1.0}
+
+
+def _load_reference_matcha():
+    import importlib
+
+    from tests import espnet_torch_equiv
+
+    espnet_torch_equiv.install(str(REFERENCE))
+    espnet_torch_equiv.install_diffusers()
+    sys.path.insert(0, str(REFERENCE))
+    try:
+        mod = importlib.import_module("models.tts.matcha.model")
+    finally:
+        sys.path.remove(str(REFERENCE))
+    return mod.MatchaTTS
+
+
+def _matcha_pair(hp, seed=0, n_symbols=90, spks=3):
+    import copy
+    import torch
+
+    from viet_tts_tpu.models.matcha import MatchaTTS as FlaxMatcha
+    from viet_tts_tpu.train.torch_import import import_matcha
+
+    TorchMatcha = _load_reference_matcha()
+    torch.manual_seed(seed)
+    tm = TorchMatcha(
+        n_symbols=n_symbols, n_speakers=spks, n_channels=80,
+        hparams=copy.deepcopy(hp), stats=dict(MATCHA_STATS), n_accents=2,
+    ).eval()
+    fm = FlaxMatcha(
+        n_symbols=n_symbols, n_channels=80, hparams=copy.deepcopy(hp),
+        stats=dict(MATCHA_STATS), n_speakers=spks, n_accents=2,
+    )
+    variables = import_matcha(tm.state_dict(), hp)
+    return tm, fm, variables
+
+
+@pytest.mark.skipif(not REFERENCE.exists(), reason="reference not mounted")
+def test_matcha_import_tree_matches_init():
+    import jax
+    import jax.numpy as jnp
+    from flax import traverse_util
+
+    tm, fm, variables = _matcha_pair(MATCHA_HP)
+    rng = np.random.RandomState(0)
+    key = jax.random.PRNGKey(0)
+    B, T_text, T_mel = 2, 9, 24
+    init = fm.init(
+        {"params": key, "dropout": key, "noise": key, "reparam": key},
+        text=jnp.asarray(rng.randint(1, 90, (B, T_text))),
+        text_lengths=jnp.asarray([T_text, 7]),
+        feats=jnp.asarray(rng.randn(B, T_mel, 80), jnp.float32),
+        feats_lengths=jnp.asarray([T_mel, 20]),
+        sids=jnp.asarray([0, 1]),
+        duration=jnp.asarray(rng.rand(B, T_mel, T_text), jnp.float32),
+        train=True,
+    )
+    got = set(traverse_util.flatten_dict(variables["params"]))
+    want = set(traverse_util.flatten_dict(init["params"]))
+    assert got == want, (sorted(want - got)[:8], sorted(got - want)[:8])
+
+
+@pytest.mark.skipif(not REFERENCE.exists(), reason="reference not mounted")
+def test_matcha_inference_parity():
+    """Deterministic (temperature=0) full-stack Euler-ODE inference parity:
+    RoPE text encoder + prenet, duration predictor, Gaussian upsampling,
+    UNet estimator (snakebeta transformer blocks, diffusers additive-mask
+    attention quirk) (`matcha/model.py:201-250`)."""
+    import torch
+    import jax
+    import jax.numpy as jnp
+
+    from viet_tts_tpu.train.torch_import import import_matcha
+
+    tm, fm, variables = _matcha_pair(MATCHA_HP)
+    # random-init duration predictors round everything to zero frames; bias
+    # the log-duration head so predicted durations are ~2 frames/token
+    tm.duration_predictor.linear.bias.data.fill_(1.2)
+    variables = import_matcha(tm.state_dict(), MATCHA_HP)
+    for seed in range(3, 13):
+        rng = np.random.RandomState(seed)
+        text = rng.randint(1, 90, (1, 9))
+        lens = np.asarray([9])
+        sids = np.asarray([1])
+        with torch.no_grad():
+            try:
+                t_mel, t_lens = tm.inference(
+                    torch.from_numpy(text).long(),
+                    torch.from_numpy(lens).long(),
+                    sids=torch.from_numpy(sids).long(),
+                    n_timesteps=4,
+                    temperature=0.0,
+                )
+            except RuntimeError:
+                continue  # degenerate all-zero predicted durations
+        if int(t_lens.max()) < 8:
+            continue
+        t_mel = t_mel.transpose(1, 2).numpy()  # (B, T, n_mels)
+
+        from viet_tts_tpu.models.matcha.model import fix_len_compatibility
+
+        budget = fix_len_compatibility(int(t_lens.max()))
+        j_mel, j_lens, _ = fm.apply(
+            variables,
+            jnp.asarray(sids),
+            jnp.asarray(text),
+            jnp.asarray(lens),
+            budget,
+            n_timesteps=4,
+            temperature=0.0,
+            method=fm.inference,
+            rngs={"noise": jax.random.PRNGKey(0)},
+        )
+        np.testing.assert_array_equal(np.asarray(j_lens), t_lens.numpy())
+        L = int(t_lens[0])
+        np.testing.assert_allclose(
+            np.asarray(j_mel)[0, :L], t_mel[0, :L], atol=2e-3
+        )
+        return
+    pytest.fail("no non-degenerate seed found")
+
+
+# ---------------------------------------------------------------------------
+# AdaSpeech import parity
+# ---------------------------------------------------------------------------
+
+ADA_HP = {
+    "max_seq_len": 1000,
+    "encoder_layers": 2,
+    "encoder_hidden": 32,
+    "decoder_layers": 2,
+    "decoder_hidden": 32,
+    "use_cvae": False,
+    "use_postnet": True,
+    "building_block": {
+        "block_type": "transformer",
+        "transformer": {
+            "encoder_head": 2,
+            "decoder_head": 2,
+            "conv_filter_size": 64,
+            "conv_kernel_size": [9, 1],
+            "encoder_dropout": 0.2,
+            "decoder_dropout": 0.2,
+        },
+    },
+    "variance": {
+        "learn_alignment": False,
+        "duration_modelling": {
+            "use_gaussian": True,
+            "aligner_temperature": 0.0005,
+            "binarization_start_steps": 6000,
+        },
+        "variance_predictor": {
+            "filter_size": 16,
+            "kernel_size": 3,
+            "dropout": 0.5,
+            "dur_predictor_layers": 2,
+            "dur_predictor_kernel": 3,
+            "pit_predictor_layers": 2,
+            "pit_predictor_kernel": 5,
+            "ener_predictor_layers": 2,
+            "ener_predictor_kernel": 5,
+            "ffn_padding": "SAME",
+            "ffn_act": "gelu",
+        },
+        "variance_embedding": {
+            "n_bins": 16,
+            "pitch_feature": "phoneme_level",
+            "pitch_quantization": "linear",
+            "energy_feature": "phoneme_level",
+            "energy_quantization": "linear",
+        },
+        "reference_encoder": {
+            "phoneme_level_encoder_step": 60000,
+            "phn_latent_dim": 4,
+            "utterance_encoder": {
+                "idim": 80, "n_layers": 2, "n_chans": 32, "kernel_size": 5,
+                "pool_kernel": 3, "dropout_rate": 0.5, "stride": 3,
+            },
+            "phoneme_level_encoder": {
+                "idim": 80, "n_layers": 2, "n_chans": 16, "kernel_size": 3,
+                "dropout_rate": 0.5, "stride": 1,
+            },
+            "phoneme_level_predictor": {
+                "idim": 32, "n_layers": 2, "n_chans": 16, "kernel_size": 3,
+                "dropout_rate": 0.5, "stride": 1,
+            },
+        },
+    },
+    "postnet": {"embedding_dim": 16, "conv_layers": 5, "kernel_size": 5},
+}
+
+
+def _load_reference_adaspeech():
+    _stub_fs2_deps()
+    sys.path.insert(0, str(REFERENCE))
+    try:
+        from models.tts.adaspeech.model import AdaSpeech as TorchAda
+    finally:
+        sys.path.remove(str(REFERENCE))
+    return TorchAda
+
+
+def _ada_pair(hp, seed=0):
+    import copy
+    import torch
+
+    from viet_tts_tpu.models.adaspeech import AdaSpeech
+    from viet_tts_tpu.train.torch_import import import_adaspeech
+
+    TorchAda = _load_reference_adaspeech()
+    torch.manual_seed(seed)
+    tm = TorchAda(
+        n_symbols=130, n_channels=80, hparams=copy.deepcopy(hp),
+        stats=copy.deepcopy(FS2_STATS), n_speakers=3, n_accents=2,
+    ).eval()
+    fm = AdaSpeech(
+        n_symbols=130, n_channels=80, hparams=copy.deepcopy(hp),
+        stats=copy.deepcopy(FS2_STATS), n_speakers=3, n_accents=2,
+    )
+    variables = import_adaspeech(tm.state_dict(), hp)
+    return tm, fm, variables
+
+
+@pytest.mark.skipif(not REFERENCE.exists(), reason="reference not mounted")
+def test_adaspeech_import_tree_matches_init():
+    import jax
+    import jax.numpy as jnp
+    from flax import traverse_util
+
+    tm, fm, variables = _ada_pair(ADA_HP)
+    rng = np.random.RandomState(0)
+    B, T_text, T_mel = 2, 11, 40
+    key = jax.random.PRNGKey(0)
+    init = fm.init(
+        {"params": key, "dropout": key},
+        text=jnp.asarray(rng.randint(1, 130, (B, T_text))),
+        text_lengths=jnp.asarray([T_text, 8]),
+        feats=jnp.asarray(rng.randn(B, T_mel, 80), jnp.float32),
+        feats_lengths=jnp.asarray([T_mel, 30]),
+        duration=jnp.asarray(rng.randint(1, 5, (B, T_text)), jnp.float32),
+        pitch=jnp.asarray(rng.randn(B, T_mel), jnp.float32),
+        energy=jnp.asarray(rng.randn(B, T_mel), jnp.float32),
+        sids=jnp.asarray([0, 1]),
+        train=False,
+    )
+    got = set(traverse_util.flatten_dict(variables["params"]))
+    want = set(traverse_util.flatten_dict(init["params"]))
+    assert got == want, (sorted(want - got)[:8], sorted(got - want)[:8])
+    got_bs = set(traverse_util.flatten_dict(variables.get("batch_stats", {})))
+    want_bs = set(traverse_util.flatten_dict(init.get("batch_stats", {})))
+    assert got_bs == want_bs
+
+
+@pytest.mark.skipif(not REFERENCE.exists(), reason="reference not mounted")
+def test_adaspeech_teacher_forced_parity():
+    import torch
+    import jax.numpy as jnp
+
+    tm, fm, variables = _ada_pair(ADA_HP)
+    rng = np.random.RandomState(1)
+    B, T_text = 2, 11
+    text = rng.randint(1, 130, (B, T_text))
+    text[1, 8:] = 0
+    text_lens = np.asarray([T_text, 8])
+    dur = rng.randint(1, 5, (B, T_text))
+    dur[1, 8:] = 0
+    feats_lens = dur.sum(1)
+    T_mel = int(feats_lens.max())
+    feats = rng.randn(B, T_mel, 80).astype(np.float32)
+    pitch = rng.randn(B, T_mel).astype(np.float32)
+    energy = rng.randn(B, T_mel).astype(np.float32)
+    sids = np.asarray([0, 2])
+
+    with torch.no_grad():
+        # .copy(): the reference's frame2phoneme averages in place.
+        (t_outs, t_post, t_logd, t_p, t_e, *_), (_, _, _, t_phn) = tm(
+            torch.from_numpy(text).long(),
+            torch.from_numpy(text_lens).long(),
+            torch.from_numpy(feats.copy()),
+            torch.from_numpy(feats_lens).long(),
+            torch.from_numpy(dur).long(),
+            torch.from_numpy(pitch.copy()),
+            torch.from_numpy(energy.copy()),
+            torch.from_numpy(sids).long(),
+            None,
+            0,
+        )
+
+    (j_outs, j_post, j_logd, j_p, j_e, *_), (_, _, _, j_phn) = fm.apply(
+        variables,
+        text=jnp.asarray(text),
+        text_lengths=jnp.asarray(text_lens),
+        feats=jnp.asarray(feats),
+        feats_lengths=jnp.asarray(feats_lens),
+        duration=jnp.asarray(dur, jnp.float32),
+        pitch=jnp.asarray(pitch),
+        energy=jnp.asarray(energy),
+        sids=jnp.asarray(sids),
+        train=False,
+    )
+    atol = 2e-4
+    for b in range(B):
+        lt, lm = int(text_lens[b]), int(feats_lens[b])
+        np.testing.assert_allclose(
+            np.asarray(j_phn)[b, :lt], t_phn.numpy()[b, :lt], atol=atol
+        )
+        np.testing.assert_allclose(
+            np.asarray(j_logd)[b, :lt], t_logd.numpy()[b, :lt], atol=atol
+        )
+        np.testing.assert_allclose(
+            np.asarray(j_p)[b, :lt], t_p.numpy()[b, :lt], atol=atol
+        )
+        np.testing.assert_allclose(
+            np.asarray(j_e)[b, :lt], t_e.numpy()[b, :lt], atol=atol
+        )
+        np.testing.assert_allclose(
+            np.asarray(j_outs)[b, :lm], t_outs.numpy()[b, :lm], atol=atol
+        )
+        np.testing.assert_allclose(
+            np.asarray(j_post)[b, :lm], t_post.numpy()[b, :lm], atol=atol
+        )
+
+
+@pytest.mark.skipif(not REFERENCE.exists(), reason="reference not mounted")
+def test_adaspeech_inference_parity():
+    import torch
+    import jax.numpy as jnp
+
+    tm, fm, variables = _ada_pair(ADA_HP)
+    for seed in range(2, 12):
+        rng = np.random.RandomState(seed)
+        B, T_text, T_ref = 2, 9, 48
+        text = rng.randint(1, 130, (B, T_text))
+        text[1, 6:] = 0
+        text_lens = np.asarray([T_text, 6])
+        sids = np.asarray([1, 2])
+        ref_mel = rng.randn(B, T_ref, 80).astype(np.float32)
+
+        with torch.no_grad():
+            try:
+                t_mel, t_lens, t_emb = tm.inference(
+                    torch.from_numpy(sids).long(),
+                    torch.from_numpy(text).long(),
+                    torch.from_numpy(text_lens).long(),
+                    torch.from_numpy(ref_mel.copy()),
+                )
+            except RuntimeError:
+                continue  # all-zero predicted durations
+        if int(t_lens.min()) < 2:
+            continue
+        t_mel = t_mel.transpose(1, 2).numpy()
+
+        j_mel, j_lens, j_emb = fm.apply(
+            variables,
+            sids=jnp.asarray(sids),
+            text=jnp.asarray(text),
+            text_lengths=jnp.asarray(text_lens),
+            max_mel_frames=int(t_lens.max()),
+            feats=jnp.asarray(ref_mel),
+            method=fm.inference,
+        )
+        np.testing.assert_array_equal(np.asarray(j_lens), t_lens.numpy())
+        np.testing.assert_allclose(np.asarray(j_emb), t_emb.numpy(), atol=1e-5)
+        for b in range(B):
+            L = int(t_lens[b])
+            np.testing.assert_allclose(
+                np.asarray(j_mel)[b, :L], t_mel[b, :L], atol=3e-4
+            )
+        return
+    pytest.fail("no non-degenerate seed found")

@@ -34,7 +34,6 @@ from viet_tts_tpu.models.fastspeech2.layers import (
 from viet_tts_tpu.nn.utils import pad_mask_from_lengths
 from viet_tts_tpu.ops import (
     average_by_duration,
-    average_channels_by_duration,
     binarize_attention,
     gaussian_upsample,
     length_regulator,
@@ -181,6 +180,63 @@ class AdaSpeech(nn.Module):
                 kernel_size=hp["postnet"]["kernel_size"],
             )
 
+    @staticmethod
+    def _token_avg_mels(duration, feats, text_lengths, feats_lengths):
+        """Per-token reference-mel summary fed to the PhonemeLevelEncoder.
+
+        The reference's `frame2phoneme` (`models/tts/fastspeech2/
+        function.py:186-197`, called through `get_mel_phoneme_level` in
+        `models/tts/adaspeech/function.py:5-19`) takes `np.mean` over the
+        2-D (frames, channels) slice — collapsing each token's mel span to
+        ONE scalar that the row assignment broadcasts over all 80 channels.
+        It also averages IN PLACE: token i overwrites mel ROW i before
+        later tokens read their frame spans, so whenever a token's span
+        start lags its index (zero-duration tokens earlier in the
+        sequence) the mean reads earlier tokens' scalars instead of true
+        frames. Both behaviours are mirrored here — trained encoders
+        expect them — as a scan whose carry holds per-frame channel means
+        (the scalar collapse makes full rows redundant). Token spans that
+        overrun the mel (possible with free-running durations) read an
+        empty slice: the reference NaNs there; this returns 0.
+        """
+        B, N = duration.shape
+        T = feats.shape[1]
+        ds = duration.astype(jnp.int32)
+        if text_lengths is not None:
+            ds = ds * (jnp.arange(N)[None, :] < text_lengths[:, None])
+        cum = jnp.cumsum(ds, axis=-1)
+        starts = cum - ds
+        t = jnp.arange(T, dtype=jnp.int32)
+        frame_valid = (
+            (t[None, :] < feats_lengths[:, None]).astype(feats.dtype)
+            if feats_lengths is not None
+            else jnp.ones((B, T), feats.dtype)
+        )
+
+        def step(buf, inputs):
+            i, start, d = inputs
+            seg = (
+                (t[None, :] >= start[:, None]) & (t[None, :] < (start + d)[:, None])
+            ).astype(buf.dtype) * frame_valid
+            cnt = seg.sum(axis=-1)
+            scalar = jnp.where(
+                (d > 0) & (cnt > 0),
+                (buf * seg).sum(axis=-1) / jnp.maximum(cnt, 1.0),
+                0.0,
+            )
+            buf = jnp.where((t == i)[None, :], scalar[:, None], buf)
+            return buf, scalar
+
+        _, scalars = jax.lax.scan(
+            step,
+            feats.mean(axis=-1),
+            (jnp.arange(N, dtype=jnp.int32), starts.T, ds.T),
+        )
+        scalars = scalars.T  # (B, N)
+        return jnp.broadcast_to(
+            scalars[..., None], (*scalars.shape, feats.shape[-1])
+        )
+
     def _speaker_vector(self, sids, aids, feats, train):
         accent_probs = None
         if self.use_cvae:
@@ -235,7 +291,7 @@ class AdaSpeech(nn.Module):
 
         # AdaSpeech acoustic conditions
         x = x + self.utterance_encoder(feats, train=train)
-        avg_mels = average_channels_by_duration(
+        avg_mels = self._token_avg_mels(
             duration_rounded, feats, text_lengths, feats_lengths
         )
         phn_encode = self.phoneme_level_encoder(avg_mels, train=train)
@@ -244,25 +300,30 @@ class AdaSpeech(nn.Module):
         latent = jnp.where(distill, jax.lax.stop_gradient(phn_encode), phn_encode)
         x = x + self.phone_level_embed(latent)
 
+        # NOTE: unlike FS2's adaptor, the AdaSpeech one predicts pitch AND
+        # energy from the same x, adding both embeddings only afterwards
+        # (`adaspeech/layers.py:258-269`).
         pitch_target, energy_target = pitch, energy
         if self.pitch_feature_level == "phoneme_level":
             pitch_target = average_by_duration(
                 duration_rounded, pitch, text_lengths, feats_lengths
             )
-            p_outs, emb = self._embed_variance(
+            p_outs, p_emb = self._embed_variance(
                 self.pitch_predictor, self.pitch_embedding, self.pitch_bins,
                 x, pitch_target, 1.0, train,
             )
-            x = x + emb
         if self.energy_feature_level == "phoneme_level":
             energy_target = average_by_duration(
                 duration_rounded, energy, text_lengths, feats_lengths
             )
-            e_outs, emb = self._embed_variance(
+            e_outs, e_emb = self._embed_variance(
                 self.energy_predictor, self.energy_embedding, self.energy_bins,
                 x, energy_target, 1.0, train,
             )
-            x = x + emb
+        if self.pitch_feature_level == "phoneme_level":
+            x = x + p_emb
+        if self.energy_feature_level == "phoneme_level":
+            x = x + e_emb
 
         mel_valid = ~mel_pad
 
@@ -338,22 +399,30 @@ class AdaSpeech(nn.Module):
         )
         mel_pad = pad_mask_from_lengths(mel_lens, max_mel_frames)
 
-        # acoustic condition from a reference mel when given
+        # acoustic condition from a reference mel when given. The reference
+        # (`adaspeech/layers.py:233-255`, inference => step=0) runs the
+        # PhonemeLevelEncoder on the reference mel averaged under PREDICTED
+        # durations; the distilled predictor is used only without a mel.
         if feats is not None:
             x = x + self.utterance_encoder(feats, train=False)
-        latent = self.phoneme_level_predictor(x, train=False)
+            avg_mels = self._token_avg_mels(
+                duration_rounded, feats, text_lengths, None
+            )
+            latent = self.phoneme_level_encoder(avg_mels, train=False)
+        else:
+            latent = self.phoneme_level_predictor(x, train=False)
         x = x + self.phone_level_embed(latent)
 
-        p_outs, emb = self._embed_variance(
+        # both variances predicted from the same x (see __call__ note)
+        p_outs, p_emb = self._embed_variance(
             self.pitch_predictor, self.pitch_embedding, self.pitch_bins,
             x, None, p_control, False,
         )
-        x = x + emb
-        e_outs, emb = self._embed_variance(
+        e_outs, e_emb = self._embed_variance(
             self.energy_predictor, self.energy_embedding, self.energy_bins,
             x, None, e_control, False,
         )
-        x = x + emb
+        x = x + p_emb + e_emb
 
         if self.use_gaussian:
             x = gaussian_upsample(

@@ -112,9 +112,12 @@ class BasicTransformerBlock(nn.Module):
             jnp.asarray(self.head_dim, x.dtype)
         )
         if valid_mask is not None:
-            scores = jnp.where(
-                valid_mask[:, None, None, :], scores, MASK_NEG
-            )
+            # diffusers ADDS the float mask to the logits (baddbmm beta=1 /
+            # sdpa float attn_mask); the reference passes a 0/1 validity
+            # mask, so padded keys get a -1 logit handicap, NOT -inf
+            # (`sub_layers.py:690-696` + diffusers attention_processor).
+            # Mirrored for imported-weight parity.
+            scores = scores + valid_mask.astype(scores.dtype)[:, None, None, :]
         attn = nn.softmax(scores, axis=-1)
         attn = nn.Dropout(self.dropout)(attn, deterministic=not train)
         ctx = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, T, inner)

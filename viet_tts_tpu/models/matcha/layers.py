@@ -222,7 +222,11 @@ class TextEncoder(nn.Module):
             embedding_init=nn.initializers.normal(hidden**-0.5),
             name="src_word_emb",
         )(src_seq)
-        emb = emb * jnp.sqrt(jnp.asarray(hidden, emb.dtype))
+        # the reference scales by sqrt of the POST-concat hidden dim
+        # (`matcha/layers.py:39-52,85`: self.hidden_dim is reassigned to
+        # hidden+spk_emb_dim before forward reads it) — mirrored
+        scale_dim = hidden + (self.spk_emb_dim if self.n_spks > 1 else 0)
+        emb = emb * jnp.sqrt(jnp.asarray(scale_dim, emb.dtype))
         T = src_seq.shape[1]
         valid = jnp.arange(T)[None, :] < src_lengths[:, None]
         x_mask = valid[..., None].astype(emb.dtype)

@@ -946,3 +946,284 @@ def import_vits2(state_dict: Dict[str, Any], hparams: Dict[str, Any]) -> Dict[st
     else:
         params["dp"] = _vits_dp_params(sd, "dp")
     return {"params": params}
+
+
+# ---------------------------------------------------------------------------
+# Matcha-TTS (`models/tts/matcha/model.py`)
+# ---------------------------------------------------------------------------
+
+
+def _matcha_ln_params(sd, prefix: str) -> Dict[str, Any]:
+    """Matcha channel LayerNorm stores gamma/beta (`sub_layers.py:11-29`)."""
+    return {
+        "gamma": _to_np(sd[f"{prefix}.gamma"]),
+        "beta": _to_np(sd[f"{prefix}.beta"]),
+    }
+
+
+def _matcha_prenet_params(sd, prefix: str, n_layers: int) -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    for i in range(n_layers):
+        out[f"conv_{i}"] = plain_conv1d_params(sd, f"{prefix}.conv_layers.{i}")
+        out[f"norm_{i}"] = _matcha_ln_params(sd, f"{prefix}.norm_layers.{i}")
+    out["proj"] = plain_conv1d_params(sd, f"{prefix}.proj")
+    return out
+
+
+def _matcha_encoder_params(sd, prefix: str, n_layers: int) -> Dict[str, Any]:
+    """RoPE Encoder (`sub_layers.py:254-302`) -> our RoPEEncoder."""
+    out: Dict[str, Any] = {}
+    for i in range(n_layers):
+        out[f"attn_{i}"] = {
+            name: plain_conv1d_params(sd, f"{prefix}.attn_layers.{i}.{name}")
+            for name in ["conv_q", "conv_k", "conv_v", "conv_o"]
+        }
+        out[f"norm1_{i}"] = _matcha_ln_params(sd, f"{prefix}.norm_layers_1.{i}")
+        out[f"ffn_{i}"] = {
+            "conv_1": plain_conv1d_params(sd, f"{prefix}.ffn_layers.{i}.conv_1"),
+            "conv_2": plain_conv1d_params(sd, f"{prefix}.ffn_layers.{i}.conv_2"),
+        }
+        out[f"norm2_{i}"] = _matcha_ln_params(sd, f"{prefix}.norm_layers_2.{i}")
+    return out
+
+
+def _unet_block1d_params(sd, prefix: str) -> Dict[str, Any]:
+    """Block1D {block.0=Conv1d, block.1=GroupNorm} (`sub_layers.py:400-412`)."""
+    gn = {
+        "scale": _to_np(sd[f"{prefix}.block.1.weight"]),
+        "bias": _to_np(sd[f"{prefix}.block.1.bias"]),
+    }
+    return {"conv": plain_conv1d_params(sd, f"{prefix}.block.0"), "norm": gn}
+
+
+def _unet_resnet_params(sd, prefix: str) -> Dict[str, Any]:
+    return {
+        "block1": _unet_block1d_params(sd, f"{prefix}.block1"),
+        "block2": _unet_block1d_params(sd, f"{prefix}.block2"),
+        "mlp": linear_params(sd, f"{prefix}.mlp.1"),
+        "res_conv": plain_conv1d_params(sd, f"{prefix}.res_conv"),
+    }
+
+
+def _unet_transformer_params(sd, prefix: str) -> Dict[str, Any]:
+    """diffusers BasicTransformerBlock w/ snakebeta FF
+    (`blocks/transformer.py:138-315`) -> our BasicTransformerBlock."""
+    def ln(p):
+        return {
+            "scale": _to_np(sd[f"{p}.weight"]),
+            "bias": _to_np(sd[f"{p}.bias"]),
+        }
+
+    return {
+        "norm1": ln(f"{prefix}.norm1"),
+        "to_q": {"kernel": _to_np(sd[f"{prefix}.attn1.to_q.weight"]).T},
+        "to_k": {"kernel": _to_np(sd[f"{prefix}.attn1.to_k.weight"]).T},
+        "to_v": {"kernel": _to_np(sd[f"{prefix}.attn1.to_v.weight"]).T},
+        "to_out": linear_params(sd, f"{prefix}.attn1.to_out.0"),
+        "norm3": ln(f"{prefix}.norm3"),
+        "ff": {
+            "proj_in": linear_params(sd, f"{prefix}.ff.net.0.proj"),
+            "alpha": _to_np(sd[f"{prefix}.ff.net.0.alpha"]),
+            "beta": _to_np(sd[f"{prefix}.ff.net.0.beta"]),
+            "proj_out": linear_params(sd, f"{prefix}.ff.net.2"),
+        },
+    }
+
+
+def _unet_decoder_params(sd, prefix: str, dec_hp: Dict[str, Any]) -> Dict[str, Any]:
+    """UNet Decoder (`sub_layers.py:490-735`) -> our UNetDecoder."""
+    channels = list(dec_hp.get("channels", (256, 256)))
+    n_blocks = dec_hp.get("n_blocks", 1)
+    n_mid = dec_hp.get("num_mid_blocks", 2)
+    out: Dict[str, Any] = {
+        "time_mlp": {
+            "linear_1": linear_params(sd, f"{prefix}.time_mlp.linear_1"),
+            "linear_2": linear_params(sd, f"{prefix}.time_mlp.linear_2"),
+        },
+        "final_block": _unet_block1d_params(sd, f"{prefix}.final_block"),
+        "final_proj": plain_conv1d_params(sd, f"{prefix}.final_proj"),
+    }
+    for i in range(len(channels)):
+        out[f"down_res_{i}"] = _unet_resnet_params(sd, f"{prefix}.down_blocks.{i}.0")
+        for j in range(n_blocks):
+            out[f"down_tf_{i}_{j}"] = _unet_transformer_params(
+                sd, f"{prefix}.down_blocks.{i}.1.{j}"
+            )
+        dp = f"{prefix}.down_blocks.{i}.2"
+        dp = dp + (".conv" if f"{dp}.conv.weight" in sd else "")
+        out[f"down_conv_{i}"] = plain_conv1d_params(sd, dp)
+    for i in range(n_mid):
+        out[f"mid_res_{i}"] = _unet_resnet_params(sd, f"{prefix}.mid_blocks.{i}.0")
+        for j in range(n_blocks):
+            out[f"mid_tf_{i}_{j}"] = _unet_transformer_params(
+                sd, f"{prefix}.mid_blocks.{i}.1.{j}"
+            )
+    n_up = len(channels)  # channels[::-1] + [channels[0]] -> len stages
+    for i in range(n_up):
+        out[f"up_res_{i}"] = _unet_resnet_params(sd, f"{prefix}.up_blocks.{i}.0")
+        for j in range(n_blocks):
+            out[f"up_tf_{i}_{j}"] = _unet_transformer_params(
+                sd, f"{prefix}.up_blocks.{i}.1.{j}"
+            )
+        up = f"{prefix}.up_blocks.{i}.2"
+        if f"{up}.conv.weight" in sd:  # ConvTranspose1d upsample
+            ct = conv_transpose1d_params(sd, f"{up}.conv")
+            out[f"up_kernel_{i}"] = ct["kernel_v"]
+            out[f"up_bias_{i}"] = ct["bias"]
+        else:  # last stage: plain conv
+            out[f"up_conv_{i}"] = plain_conv1d_params(sd, up)
+    return out
+
+
+def import_matcha(state_dict: Dict[str, Any], hparams: Dict[str, Any]) -> Dict[str, Any]:
+    """Reference `MatchaTTS` state_dict -> flax variables.
+
+    Covers the embedding speaker mode; the CVAE accent mode reuses the GST
+    reference-encoder import machinery when its keys are present.
+    """
+    sd = state_dict
+    hp = hparams
+    te = hp["text_encoder"]
+    enc: Dict[str, Any] = {
+        "src_word_emb": embed_params(sd, "encoder.src_word_emb"),
+        "encoder": _matcha_encoder_params(
+            sd, "encoder.encoder", te["encoder"]["n_layers"]
+        ),
+        "proj_m": plain_conv1d_params(sd, "encoder.proj_m"),
+    }
+    if te.get("use_prenet", True):
+        enc["prenet"] = _matcha_prenet_params(
+            sd, "encoder.prenet", te["prenet"]["n_layers"]
+        )
+    params: Dict[str, Any] = {
+        "encoder": enc,
+        "aligner": _aligner_params(sd, "aligner"),
+        "duration_predictor": _duration_predictor_params(
+            sd, "duration_predictor",
+            hp["variance_predictor"]["dur_predictor_layers"],
+        ),
+        "decoder": {
+            "estimator": _unet_decoder_params(
+                sd, "decoder.estimator", hp["decoder"]
+            )
+        },
+    }
+    if "speaker_emb.weight" in sd and sd["speaker_emb.weight"].dim() == 2 and hp.get("spk_dims", -1) in (-1, None):
+        params["speaker_emb"] = embed_params(sd, "speaker_emb")
+    elif "speaker_emb.weight" in sd:
+        params["speaker_emb"] = linear_params(sd, "speaker_emb")
+    return {"params": params}
+
+
+# ---------------------------------------------------------------------------
+# AdaSpeech (`models/tts/adaspeech/model.py`)
+# ---------------------------------------------------------------------------
+
+
+def _cond_ln_params(sd, prefix: str) -> Dict[str, Any]:
+    """CondionalLayerNorm (`adaspeech/blocks/cln.py:5-33`)."""
+    return {
+        "W_scale": linear_params(sd, f"{prefix}.W_scale"),
+        "W_bias": linear_params(sd, f"{prefix}.W_bias"),
+    }
+
+
+def _cln_fft_block_params(sd, prefix: str) -> Dict[str, Any]:
+    """CLN FFTBlock (`adaspeech/blocks/transformer.py:172-300`)."""
+    return {
+        "slf_attn": {
+            "w_qs": linear_params(sd, f"{prefix}.slf_attn.w_qs"),
+            "w_ks": linear_params(sd, f"{prefix}.slf_attn.w_ks"),
+            "w_vs": linear_params(sd, f"{prefix}.slf_attn.w_vs"),
+            "fc": linear_params(sd, f"{prefix}.slf_attn.fc"),
+            "cln": _cond_ln_params(sd, f"{prefix}.slf_attn.layer_norm"),
+        },
+        "pos_ffn": {
+            "w_1": plain_conv1d_params(sd, f"{prefix}.pos_ffn.w_1"),
+            "w_2": plain_conv1d_params(sd, f"{prefix}.pos_ffn.w_2"),
+            "cln": _cond_ln_params(sd, f"{prefix}.pos_ffn.layer_norm"),
+        },
+    }
+
+
+def _conv_ln_stack_params(sd, prefix: str) -> Dict[str, Any]:
+    """Named Sequential conv1d_{1,2}/layer_norm_{1,2}
+    (`adaspeech/layers.py:321-356`) -> our _ConvLNStack."""
+    out: Dict[str, Any] = {}
+    for i, idx in enumerate((1, 2)):
+        out[f"conv_{i}"] = plain_conv1d_params(sd, f"{prefix}.conv1d_{idx}")
+        out[f"ln_{i}"] = layernorm_params(sd, f"{prefix}.layer_norm_{idx}")
+    return out
+
+
+def import_adaspeech(
+    state_dict: Dict[str, Any], hparams: Dict[str, Any]
+) -> Dict[str, Any]:
+    """Reference `AdaSpeech` state_dict -> flax variables
+    {params, batch_stats}.
+
+    NOTE: the reference stores its sinusoid positional tables as trainable
+    Parameters (`adaspeech/blocks/transformer.py:47,122`); this framework
+    keeps them as fixed tables, so a checkpoint whose tables drifted from
+    the sinusoid init will import with that drift dropped.
+    """
+    sd = state_dict
+    hp = hparams
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    enc: Dict[str, Any] = {
+        "src_word_emb": embed_params(sd, "encoder.src_word_emb")
+    }
+    for i in range(hp["encoder_layers"]):
+        enc[f"layer_{i}"] = _cln_fft_block_params(sd, f"encoder.layer_stack.{i}")
+    dec: Dict[str, Any] = {}
+    for i in range(hp["decoder_layers"]):
+        dec[f"layer_{i}"] = _cln_fft_block_params(sd, f"decoder.layer_stack.{i}")
+    params["encoder"], params["decoder"] = enc, dec
+
+    if "speaker_emb.weight" in sd and sd["speaker_emb.weight"].dim() == 2 and hp.get("spk_dims", -1) != -1:
+        params["speaker_emb"] = linear_params(sd, "speaker_emb")
+    elif "speaker_emb.weight" in sd:
+        params["speaker_emb"] = embed_params(sd, "speaker_emb")
+
+    va = "variance_adaptor"
+    vp = hp["variance"]["variance_predictor"]
+    if any(k.startswith(f"{va}.aligner.") for k in sd):
+        params["aligner"] = _aligner_params(sd, f"{va}.aligner")
+    params["duration_predictor"] = _duration_predictor_params(
+        sd, f"{va}.duration_predictor", vp["dur_predictor_layers"]
+    )
+    params["pitch_predictor"] = _variance_predictor_params(
+        sd, f"{va}.pitch_predictor", vp["pit_predictor_layers"]
+    )
+    params["energy_predictor"] = _variance_predictor_params(
+        sd, f"{va}.energy_predictor", vp["ener_predictor_layers"]
+    )
+    params["pitch_embedding"] = embed_params(sd, f"{va}.pitch_embedding")
+    params["energy_embedding"] = embed_params(sd, f"{va}.energy_embedding")
+
+    params["utterance_encoder"] = {
+        "conv": _conv_ln_stack_params(sd, f"{va}.utterance_encoder.conv")
+    }
+    params["phoneme_level_encoder"] = {
+        "conv": _conv_ln_stack_params(sd, f"{va}.phoneme_level_encoder.conv"),
+        "linear": linear_params(sd, f"{va}.phoneme_level_encoder.linear"),
+    }
+    params["phoneme_level_predictor"] = {
+        "conv": _conv_ln_stack_params(sd, f"{va}.phoneme_level_predictor.conv"),
+        "linear": linear_params(sd, f"{va}.phoneme_level_predictor.linear"),
+    }
+    params["phone_level_embed"] = linear_params(sd, f"{va}.phone_level_embed")
+
+    params["cln"] = _cond_ln_params(sd, "cln")
+    params["feats_linear"] = linear_params(sd, "feats_linear")
+    if any(k.startswith("postnet.") for k in sd):
+        p, s = _postnet_params(sd, "postnet", hp["postnet"]["conv_layers"])
+        params["postnet"] = p
+        stats["postnet"] = s
+
+    out = {"params": params}
+    if stats:
+        out["batch_stats"] = stats
+    return out
