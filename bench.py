@@ -99,86 +99,215 @@ def bench_tpu():
     }
 
 
-def bench_torch_cpu():
-    """Same-architecture (6L conformer-384 enc/dec + postnet) torch-CPU
-    forward over the same workload; the >50x anchor."""
+REFERENCE = "/root/reference"
+
+
+def _load_reference_models():
+    """Import the reference's OWN FastSpeech2 + HiFiGAN (torch) with its
+    espnet deps satisfied by the test-support equivalents."""
+    from tests.espnet_torch_equiv import install
+
+    install(REFERENCE)
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    try:
+        from models.tts.fastspeech2.model import FastSpeech2 as TorchFS2
+        from models.gan_tts.hifigan.generator import HiFiGAN as TorchHiFiGAN
+    finally:
+        sys.path.remove(REFERENCE)
+    return TorchFS2, TorchHiFiGAN
+
+
+def _reference_fs2_hparams():
+    """The reference's real fastspeech2 config block, with supervised
+    durations so the anchor processes the full static frame budget."""
+    import copy
+
+    import yaml
+
+    with open(os.path.join(REFERENCE, "config", "model_config.yaml")) as f:
+        cfg = yaml.safe_load(f)
+    hp = copy.deepcopy(cfg["fastspeech2"])
+    hp["variance"]["learn_alignment"] = False
+    return hp, cfg["hifigan"]
+
+
+REF_STATS = {
+    "pitch": {"min": -3.0, "max": 8.0, "mean": 0.0, "std": 1.0},
+    "energy": {"min": -3.0, "max": 8.0, "mean": 0.0, "std": 1.0},
+}
+
+
+def bench_reference_cpu():
+    """The honest anchor (BASELINE.md): the reference's own
+    `FastSpeech2.forward` (`models/tts/fastspeech2/model.py:105-193`,
+    conformer-384 config) + its own `HiFiGAN` generator on torch-CPU over
+    the same B x T_MEL workload as the TPU two-stage bench."""
     import torch
-    import torch.nn as nn
 
     torch.set_num_threads(os.cpu_count() or 8)
-    d, heads, layers = 384, 8, 6
+    TorchFS2, TorchHiFiGAN = _load_reference_models()
+    hp, hifi_cfg = _reference_fs2_hparams()
 
-    class ConformerBlock(nn.Module):
-        def __init__(self):
-            super().__init__()
-            self.ff1 = nn.Sequential(
-                nn.LayerNorm(d), nn.Linear(d, 4 * d), nn.SiLU(), nn.Linear(4 * d, d)
+    torch.manual_seed(0)
+    fs2 = TorchFS2(
+        n_symbols=131, n_channels=80, hparams=hp, stats=REF_STATS,
+        n_speakers=2,
+    ).eval()
+    voc = TorchHiFiGAN(
+        in_channels=80,
+        channels=hifi_cfg.get("upsample_initial_channel", 512),
+    ).eval()
+
+    # measure at B/4 and scale linearly (CPU throughput is batch-linear at
+    # these sizes; the full 16x512 batch takes minutes/iter, which would
+    # dominate the bench wall-clock); T_MEL is kept at full size so the
+    # attention/conv cost per frame is the real one
+    b = max(B // 4, 1)
+    rng = np.random.RandomState(0)
+    text = torch.from_numpy(rng.randint(1, 131, (b, T_TEXT))).long()
+    text_lens = torch.full((b,), T_TEXT, dtype=torch.long)
+    dur = torch.full((b, T_TEXT), T_MEL // T_TEXT, dtype=torch.long)
+    feats_lens = torch.full((b,), T_MEL, dtype=torch.long)
+    feats = torch.from_numpy(rng.randn(b, T_MEL, 80).astype(np.float32))
+    pitch = torch.from_numpy(rng.randn(b, T_MEL).astype(np.float32))
+    energy = torch.from_numpy(rng.randn(b, T_MEL).astype(np.float32))
+    sids = torch.zeros(b, dtype=torch.long)
+    aids = torch.zeros(b, dtype=torch.long) if hp.get("use_cvae") else None
+
+    def run():
+        with torch.no_grad():
+            (outs, postnet_outs, *_), _ = fs2(
+                text, text_lens, feats.clone(), feats_lens, dur,
+                pitch.clone(), energy.clone(), sids, aids, 0,
             )
-            self.ln = nn.LayerNorm(d)
-            self.attn = nn.MultiheadAttention(d, heads, batch_first=True)
-            self.conv = nn.Sequential(
-                nn.LayerNorm(d),
-                nn.Linear(d, 2 * d), nn.GLU(dim=-1),
+            return voc(postnet_outs.transpose(1, 2))
+
+    run()  # warmup
+    t0 = time.perf_counter()
+    wav = run()
+    dt_small = time.perf_counter() - t0
+    dt = dt_small * (B / b)
+    assert wav.shape[-1] == T_MEL * HOP
+    return {
+        "sec_per_batch": dt,
+        "sec_per_batch_measured": dt_small,
+        "measured_batch": b,
+        "mel_frames_per_sec": B * T_MEL / dt,
+    }
+
+
+def measure_mcd_vs_reference(n_mcep=13):
+    """BASELINE target 3 on bench hardware: import the reference FS2's
+    weights, synthesize the same inputs both ways, report MCD (dB)."""
+    import copy
+
+    import torch
+    import jax
+    import jax.numpy as jnp
+
+    from viet_tts_tpu.eval.mcd import mcd
+    from viet_tts_tpu.models.fastspeech2 import FastSpeech2
+    from viet_tts_tpu.train.state import init_on_cpu
+    from viet_tts_tpu.train.torch_import import import_fastspeech2
+
+    TorchFS2, _ = _load_reference_models()
+    hp, _ = _reference_fs2_hparams()
+    hp = copy.deepcopy(hp)
+    hp["use_cvae"] = False  # CVAE import is exercised in tests; keep the
+    # bench probe to the acoustic trunk
+
+    torch.manual_seed(0)
+    tm = TorchFS2(
+        n_symbols=131, n_channels=80, hparams=copy.deepcopy(hp),
+        stats=REF_STATS, n_speakers=2,
+    ).eval()
+    fm = FastSpeech2(
+        n_symbols=131, n_channels=80, hparams=copy.deepcopy(hp),
+        stats=REF_STATS, n_speakers=2,
+    )
+    variables = import_fastspeech2(tm.state_dict(), hp)
+
+    for seed in range(2, 12):
+        rng = np.random.RandomState(seed)
+        text = rng.randint(1, 131, (2, 16))
+        lens = np.asarray([16, 12])
+        text[1, 12:] = 0
+        sids = np.asarray([0, 1])
+        try:
+            with torch.no_grad():
+                t_mel, t_lens, _ = tm.inference(
+                    torch.from_numpy(sids).long(),
+                    torch.from_numpy(text).long(),
+                    torch.from_numpy(lens).long(),
+                )
+        except RuntimeError:
+            continue  # degenerate all-zero predicted durations; next seed
+        if int(t_lens.min()) < 4:
+            continue
+        t_mel = t_mel.transpose(1, 2).numpy()
+
+        def run(precision):
+            # "highest" = 3-pass bf16 (~fp32) on the MXU: measures
+            # architecture parity; "default" = the single-pass serving
+            # precision, measuring what bf16 MXU rounding costs in MCD.
+            with jax.default_matmul_precision(precision):
+                return fm.apply(
+                    variables,
+                    sids=jnp.asarray(sids),
+                    text=jnp.asarray(text),
+                    text_lengths=jnp.asarray(lens),
+                    max_mel_frames=int(t_lens.max()),
+                    method=fm.inference,
+                )
+
+        j_mel, j_lens, _ = run("highest")
+        if not np.array_equal(np.asarray(j_lens), t_lens.numpy()):
+            return {"mcd_vs_reference": -1.0}  # length drift: flag loudly
+        out = {
+            "mcd_vs_reference": mcd(
+                np.asarray(j_mel), t_mel, n_mcep, lengths=t_lens.numpy()
             )
-            self.dw = nn.Conv1d(d, d, 31, padding=15, groups=d)
-            self.pw = nn.Linear(d, d)
-            self.ff2 = nn.Sequential(
-                nn.LayerNorm(d), nn.Linear(d, 4 * d), nn.SiLU(), nn.Linear(4 * d, d)
+        }
+        j_mel16, j_lens16, _ = run("default")
+        if np.array_equal(np.asarray(j_lens16), t_lens.numpy()):
+            out["mcd_vs_reference_serving_precision"] = mcd(
+                np.asarray(j_mel16), t_mel, n_mcep, lengths=t_lens.numpy()
             )
-            self.final = nn.LayerNorm(d)
-
-        def forward(self, x):
-            x = x + 0.5 * self.ff1(x)
-            h = self.ln(x)
-            x = x + self.attn(h, h, h, need_weights=False)[0]
-            h = self.conv(x)
-            h = self.dw(h.transpose(1, 2)).transpose(1, 2)
-            x = x + self.pw(torch.nn.functional.silu(h))
-            x = x + 0.5 * self.ff2(x)
-            return self.final(x)
-
-    class TorchFS2(nn.Module):
-        def __init__(self):
-            super().__init__()
-            self.emb = nn.Embedding(132, d)
-            self.enc = nn.ModuleList(ConformerBlock() for _ in range(layers))
-            self.dur = nn.Sequential(
-                nn.Conv1d(d, 256, 3, padding=1), nn.ReLU(), nn.Conv1d(256, 1, 1)
-            )
-            self.dec = nn.ModuleList(ConformerBlock() for _ in range(layers))
-            self.out = nn.Linear(d, 80)
-            self.postnet = nn.Sequential(
-                *[nn.Conv1d(80 if i == 0 else 512, 512 if i < 4 else 80, 5, padding=2)
-                  for i in range(5)]
-            )
-
-        def forward(self, text, t_mel):
-            x = self.emb(text)
-            for blk in self.enc:
-                x = blk(x)
-            _ = self.dur(x.transpose(1, 2))
-            # expand to frame rate (uniform) and decode
-            reps = t_mel // x.shape[1]
-            x = x.repeat_interleave(reps, dim=1)[:, :t_mel]
-            for blk in self.dec:
-                x = blk(x)
-            mel = self.out(x)
-            return mel + self.postnet(mel.transpose(1, 2)).transpose(1, 2)
-
-    model = TorchFS2().eval()
-    text = torch.randint(1, 131, (B, T_TEXT))
-    with torch.no_grad():
-        model(text, T_MEL)  # warmup
-        n_iters = 3
-        t0 = time.perf_counter()
-        for _ in range(n_iters):
-            model(text, T_MEL)
-        dt = (time.perf_counter() - t0) / n_iters
-    frames = B * T_MEL
-    return {"sec_per_batch": dt, "mel_frames_per_sec": frames / dt}
+        return out
+    return {}
 
 
-def bench_jets_tpu():
+def _cost_flops(jitted_fn, *args):
+    """Analytic flop count of the compiled graph (XLA cost analysis)."""
+    try:
+        compiled = jitted_fn.lower(*args).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        return flops if flops > 0 else None
+    except Exception:
+        return None
+
+
+def _peak_flops():
+    """bf16 MXU peak of the attached chip (fp32 matmuls on TPU run through
+    the bf16 MXU datapath, so this is the right MFU denominator)."""
+    import jax
+
+    kind = getattr(jax.devices()[0], "device_kind", "").lower()
+    table = {
+        "v6": 918e12, "v5p": 459e12, "v5": 197e12, "lite": 197e12,
+        "v4": 275e12,
+    }
+    for k, v in table.items():
+        if k in kind:
+            return v
+    return 197e12
+
+
+def bench_jets_tpu(fused_mrf: bool = False):
     """Headline config: fused JETS text->waveform single-graph inference."""
     import jax
     import jax.numpy as jnp
@@ -189,10 +318,12 @@ def bench_jets_tpu():
     from viet_tts_tpu.train.state import init_on_cpu
 
     conf = derive_task_config(build_config(os.path.join(REPO, "config")), "jets")
+    hp = dict(conf["models"]["jets"]["generator_params"])
+    hp["fused_mrf"] = fused_mrf
     model = JETS(
         n_symbols=NUM_SYMBOLS,
         n_channels=80,
-        hparams=conf["models"]["jets"]["generator_params"],
+        hparams=hp,
         n_speakers=2,
     )
     rng = np.random.RandomState(0)
@@ -236,7 +367,7 @@ def bench_jets_tpu():
 
     samples = B * T_MEL * HOP  # static budget (see mel bench note)
     audio_seconds = samples / SR
-    return {
+    out = {
         "sec_per_batch": dt,
         "rtf_bf16": dt16 / audio_seconds,
         "samples_per_sec": samples / dt,
@@ -244,6 +375,12 @@ def bench_jets_tpu():
         "rtf": dt / max(audio_seconds, 1e-9),
         "platform": jax.devices()[0].platform,
     }
+    flops = _cost_flops(synth, variables, sids, text, text_lens)
+    if flops:
+        out["flops_per_batch"] = flops
+        out["mfu"] = flops / dt / _peak_flops()
+        out["mfu_bf16"] = flops / dt16 / _peak_flops()
+    return out
 
 
 def _honest_time(fn, *args, n_iters=8):
@@ -268,7 +405,7 @@ def jax_sum(out):
     return jnp.sum(leaf)
 
 
-def bench_two_stage_tpu():
+def bench_two_stage_tpu(fused_mrf: bool = False):
     """Config 2: FS2 conformer mel -> HiFi-GAN waveform, one fused graph."""
     import jax
     import jax.numpy as jnp
@@ -288,7 +425,7 @@ def bench_two_stage_tpu():
         n_symbols=NUM_SYMBOLS, n_channels=80,
         hparams=conf["models"]["fastspeech2"], stats=stats, n_speakers=2,
     )
-    vocoder = HiFiGANGenerator()
+    vocoder = HiFiGANGenerator(fused_mrf=fused_mrf)
 
     rng = np.random.RandomState(0)
     key = jax.random.PRNGKey(0)
@@ -313,7 +450,12 @@ def bench_two_stage_tpu():
         return vocoder.apply(vv, mel)[..., 0], mel_lens
 
     dt = _honest_time(synth, av, vv, sids, text, lens, feats, aids)
-    return {"sec_per_batch": dt, "rtf": dt / (B * T_MEL * HOP / SR)}
+    out = {"sec_per_batch": dt, "rtf": dt / (B * T_MEL * HOP / SR)}
+    flops = _cost_flops(synth, av, vv, sids, text, lens, feats, aids)
+    if flops:
+        out["flops_per_batch"] = flops
+        out["mfu"] = flops / dt / _peak_flops()
+    return out
 
 
 def bench_matcha_tpu(n_timesteps=10):
@@ -396,39 +538,89 @@ def bench_vits2_tpu():
 
 def main():
     import sys
+    import traceback
 
     def note(msg):
         print(msg, file=sys.stderr, flush=True)
 
-    note("bench: jets")
-    jets = bench_jets_tpu()
-    note("bench: fs2")
-    fs2 = bench_tpu()
-    note("bench: two_stage")
-    two_stage = bench_two_stage_tpu()
-    note("bench: matcha")
-    matcha = bench_matcha_tpu()
-    note("bench: vits2")
-    vits2 = bench_vits2_tpu()
-    note("bench: torch cpu")
-    cpu = bench_torch_cpu()
-    speedup = cpu["sec_per_batch"] / fs2["sec_per_batch"]
+    def try_bench(name, fn, *a, **kw):
+        """Run one sub-bench; a failure must never lose the JSON line."""
+        note(f"bench: {name}")
+        try:
+            return fn(*a, **kw)
+        except Exception:
+            note(f"bench {name} FAILED:\n{traceback.format_exc(limit=4)}")
+            return {}
+
+    jets = try_bench("jets", bench_jets_tpu)
+    jets_fused = try_bench("jets (fused mrf)", bench_jets_tpu, fused_mrf=True)
+    fs2 = try_bench("fs2", bench_tpu)
+    two_stage = try_bench("two_stage", bench_two_stage_tpu)
+    two_stage_fused = try_bench(
+        "two_stage (fused mrf)", bench_two_stage_tpu, fused_mrf=True
+    )
+    matcha = try_bench("matcha", bench_matcha_tpu)
+    vits2 = try_bench("vits2", bench_vits2_tpu)
+    cpu = try_bench("reference torch cpu anchor", bench_reference_cpu)
+    # end-to-end anchor: reference FS2 forward + HiFiGAN on CPU vs our
+    # fastest fused two-stage graph on TPU, same B x T_MEL workload
+    speedup = -1.0
+    cpu_extras = {}
+    if cpu and (two_stage or two_stage_fused):
+        best_two_stage = min(
+            r["sec_per_batch"] for r in (two_stage, two_stage_fused) if r
+        )
+        speedup = cpu["sec_per_batch"] / best_two_stage
+        cpu_extras = {
+            "sec_per_batch_reference_cpu_fs2_hifigan": round(
+                cpu["sec_per_batch"], 5
+            ),
+        }
+    mcd_extras = {
+        k: round(v, 5)
+        for k, v in try_bench(
+            "mcd vs reference", measure_mcd_vs_reference
+        ).items()
+    }
     result = {
         "metric": "jets_fused_text2wav_inference",
-        "value": round(jets["samples_per_sec"], 1),
+        "value": round(
+            max(
+                [r["samples_per_sec"] for r in (jets, jets_fused) if r]
+                or [-1.0]
+            ),
+            1,
+        ),
         "unit": "samples/sec",
         "vs_baseline": round(speedup, 2),
-        "rtf_jets": round(jets["rtf"], 6),
-        "rtf_jets_bf16": round(jets["rtf_bf16"], 6),
-        "jets_mel_frames_per_sec": round(jets["mel_frames_per_sec"], 1),
-        "fs2_mel_frames_per_sec": round(fs2["mel_frames_per_sec"], 1),
-        "rtf_fs2_mel": round(fs2["rtf"], 6),
-        "rtf_fs2_hifigan_two_stage": round(two_stage["rtf"], 6),
-        "rtf_matcha_ode10": round(matcha["rtf"], 6),
-        "rtf_vits2_e2e": round(vits2["rtf"], 6),
-        "sec_per_batch_torch_cpu_fs2": round(cpu["sec_per_batch"], 5),
-        "platform": jets["platform"],
+        # RTF accounting note: all RTFs divide by the static B*T_MEL frame
+        # budget the graphs actually compute (random-init duration
+        # predictors make per-utterance predicted lengths meaningless)
+        "audio_accounting": "static_budget_frames",
+        "platform": jets.get("platform", "unknown"),
+        **cpu_extras,
+        **mcd_extras,
     }
+    for key, r, field in (
+        ("rtf_jets", jets, "rtf"),
+        ("rtf_jets_bf16", jets, "rtf_bf16"),
+        ("rtf_jets_fused_mrf", jets_fused, "rtf"),
+        ("rtf_jets_fused_mrf_bf16", jets_fused, "rtf_bf16"),
+        ("jets_mel_frames_per_sec", jets, "mel_frames_per_sec"),
+        ("fs2_mel_frames_per_sec", fs2, "mel_frames_per_sec"),
+        ("rtf_fs2_mel", fs2, "rtf"),
+        ("rtf_fs2_hifigan_two_stage", two_stage, "rtf"),
+        ("rtf_fs2_hifigan_two_stage_fused_mrf", two_stage_fused, "rtf"),
+        ("rtf_matcha_ode10", matcha, "rtf"),
+        ("rtf_vits2_e2e", vits2, "rtf"),
+    ):
+        if field in r:
+            result[key] = round(r[field], 6)
+    for name, r in (("jets", jets), ("jets_fused", jets_fused),
+                    ("two_stage", two_stage),
+                    ("two_stage_fused", two_stage_fused)):
+        if "mfu" in r:
+            result[f"mfu_{name}"] = round(r["mfu"], 4)
     print(json.dumps(result))
 
 

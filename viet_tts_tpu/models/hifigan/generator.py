@@ -161,7 +161,22 @@ class HiFiGANGenerator(nn.Module):
             kernel = kernel * norm * scale[None, None, :]
         return kernel
 
-    def _fused_stage(self, x: jnp.ndarray, i: int) -> jnp.ndarray:
+    def _fused_stage_fits(self, ch: int) -> bool:
+        """The kernel keeps the whole stage's weights VMEM-resident
+        (~18 convs x k x ch^2 floats) next to ~10 (L, ch) f32 live tile
+        buffers inside a ~16MB scoped VMEM budget; beyond ch=64 (the 4MB
+        weight mark at the default MRF) that overflows, and large-channel
+        stages are MXU-efficient under plain XLA anyway — keep them on the
+        layer path."""
+        n_convs = sum(
+            (2 if self.use_additional_convs else 1) * len(d)
+            for d in self.resblock_dilations
+        )
+        k_avg = sum(self.resblock_kernel_sizes) / len(self.resblock_kernel_sizes)
+        weight_bytes = n_convs * k_avg * ch * ch * 4
+        return weight_bytes < 4e6
+
+    def _fused_stage(self, x: jnp.ndarray, i: int, ch: int) -> jnp.ndarray:
         """Run stage i's residual trio through the fused Pallas kernel,
         reading the already-created block parameters."""
         from viet_tts_tpu.ops.pallas_vocoder import fused_mrf_stage
@@ -198,6 +213,11 @@ class HiFiGANGenerator(nn.Module):
             kernel_sizes=tuple(self.resblock_kernel_sizes),
             dilations=tuple(map(tuple, self.resblock_dilations)),
             lrelu=self.lrelu_slope,
+            # VMEM scoped-stack budget is ~16MB and Mosaic's unrolled
+            # 18-conv chain allocates ~10KB/frame of stack temporaries at
+            # tile=2048 (measured 19.6-21.3MB on v5e, OOM); tile=1024
+            # (L=1144 with the halo) keeps every fused stage inside it.
+            tile=1024,
             interpret=interpret,
         )
 
@@ -230,8 +250,12 @@ class HiFiGANGenerator(nn.Module):
                 use_weight_norm=wn,
                 name=f"upsample_{i}",
             )(x)
-            if self.fused_mrf and not self.is_initializing():
-                x = self._fused_stage(x, i)
+            if (
+                self.fused_mrf
+                and not self.is_initializing()
+                and self._fused_stage_fits(ch)
+            ):
+                x = self._fused_stage(x, i, ch)
             else:
                 acc = 0.0
                 for j, (rk, rd) in enumerate(
