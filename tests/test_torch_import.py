@@ -147,8 +147,13 @@ def _stub_fs2_deps():
     numba.jit = lambda *a, **k: (a[0] if a and callable(a[0]) else (lambda f: f))
     numba.prange = range
     sys.modules.setdefault("numba", numba)
+    # the FUNCTIONAL equivalent, not a bare Module: the reference binds
+    # this name at import time and caches the module, so a placeholder
+    # would poison every later CVAE test in the session
+    from tests.espnet_torch_equiv import ReferenceEncoder
+
     gst = types.ModuleType("espnet2.tts.gst.style_encoder")
-    gst.ReferenceEncoder = tnn.Module
+    gst.ReferenceEncoder = ReferenceEncoder
     for name in ["espnet2.tts.gst"]:
         sys.modules.setdefault(name, types.ModuleType(name))
     sys.modules.setdefault("espnet2.tts.gst.style_encoder", gst)
@@ -1165,6 +1170,96 @@ def test_adaspeech_inference_parity():
         )
         np.testing.assert_array_equal(np.asarray(j_lens), t_lens.numpy())
         np.testing.assert_allclose(np.asarray(j_emb), t_emb.numpy(), atol=1e-5)
+        for b in range(B):
+            L = int(t_lens[b])
+            np.testing.assert_allclose(
+                np.asarray(j_mel)[b, :L], t_mel[b, :L], atol=3e-4
+            )
+        return
+    pytest.fail("no non-degenerate seed found")
+
+
+# ---------------------------------------------------------------------------
+# CVAE (AccentEncoderNetwork) import parity, via FastSpeech2
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.skipif(not REFERENCE.exists(), reason="reference not mounted")
+def test_fastspeech2_cvae_inference_parity():
+    import copy
+    import torch
+    import jax.numpy as jnp
+
+    from tests import espnet_torch_equiv
+
+    from viet_tts_tpu.models.fastspeech2 import FastSpeech2
+    from viet_tts_tpu.train.torch_import import import_fastspeech2
+
+    # real (functional) espnet equivalents must win over _stub_fs2_deps'
+    # bare-Module placeholders for the ReferenceEncoder to actually run
+    espnet_torch_equiv.install(str(REFERENCE))
+    TorchFS2 = _load_reference_fs2()
+
+    hp = copy.deepcopy(FS2_HP)
+    hp["use_cvae"] = True
+    hp["vcae"] = {
+        "conv_layers": 2,
+        "conv_chans_list": [4, 4],
+        "conv_kernel_size": 3,
+        "conv_stride": 2,
+        "gru_layers": 1,
+        "gru_units": 16,
+    }
+    torch.manual_seed(0)
+    tm = TorchFS2(
+        n_symbols=130, n_channels=80, hparams=copy.deepcopy(hp),
+        stats=copy.deepcopy(FS2_STATS), n_speakers=3, n_accents=2,
+    ).eval()
+    fm = FastSpeech2(
+        n_symbols=130, n_channels=80, hparams=copy.deepcopy(hp),
+        stats=copy.deepcopy(FS2_STATS), n_speakers=3, n_accents=2,
+    )
+    variables = import_fastspeech2(tm.state_dict(), hp)
+
+    for seed in range(2, 12):
+        rng = np.random.RandomState(seed)
+        B, T_text, T_ref = 2, 9, 40
+        text = rng.randint(1, 130, (B, T_text))
+        text[1, 6:] = 0
+        text_lens = np.asarray([T_text, 6])
+        sids = np.asarray([1, 2])
+        aids = np.asarray([0, 1])
+        ref_mel = rng.randn(B, T_ref, 80).astype(np.float32)
+
+        with torch.no_grad():
+            try:
+                t_mel, t_lens, t_emb = tm.inference(
+                    torch.from_numpy(sids).long(),
+                    torch.from_numpy(text).long(),
+                    torch.from_numpy(text_lens).long(),
+                    feats=torch.from_numpy(ref_mel.copy()),
+                    aids=torch.from_numpy(aids).long(),
+                )
+            except RuntimeError:
+                continue  # all-zero predicted durations
+        if int(t_lens.min()) < 2:
+            continue
+        t_mel = t_mel.transpose(1, 2).numpy()
+
+        j_mel, j_lens, j_emb = fm.apply(
+            variables,
+            sids=jnp.asarray(sids),
+            text=jnp.asarray(text),
+            text_lengths=jnp.asarray(text_lens),
+            max_mel_frames=int(t_lens.max()),
+            feats=jnp.asarray(ref_mel),
+            aids=jnp.asarray(aids),
+            method=fm.inference,
+        )
+        np.testing.assert_array_equal(np.asarray(j_lens), t_lens.numpy())
+        np.testing.assert_allclose(
+            np.asarray(j_emb), t_emb.numpy(), atol=1e-5
+        )
         for b in range(B):
             L = int(t_lens[b])
             np.testing.assert_allclose(

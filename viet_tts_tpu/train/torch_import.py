@@ -313,6 +313,50 @@ def _postnet_params(sd, prefix: str, n_layers: int):
     return params, stats
 
 
+def _accent_encoder_params(sd, prefix: str, idim: int = 80):
+    """AccentEncoderNetwork (`models/tts/fastspeech2/layers.py:628-821`):
+    espnet ReferenceEncoder (Conv2d/BN stack + GRU) + CVAEnet accent and
+    speaker heads -> our AccentEncoderNetwork {params, batch_stats}."""
+    conv_layers = 0
+    while f"{prefix}.encoder.convs.{3 * conv_layers}.weight" in sd:
+        conv_layers += 1
+    enc: Dict[str, Any] = {}
+    enc_stats: Dict[str, Any] = {}
+    k = _to_np(sd[f"{prefix}.encoder.convs.0.weight"]).shape[-1]
+    stride, pad = 2, (k - 1) // 2
+    f_dim = idim
+    for i in range(conv_layers):
+        w = _to_np(sd[f"{prefix}.encoder.convs.{3 * i}.weight"])
+        enc[f"conv_{i}"] = {"kernel": np.transpose(w, (2, 3, 1, 0))}
+        bn_p, bn_s = batchnorm_params(sd, f"{prefix}.encoder.convs.{3 * i + 1}")
+        enc[f"bn_{i}"] = bn_p
+        enc_stats[f"bn_{i}"] = bn_s
+        f_dim = (f_dim - k + 2 * pad) // stride + 1
+    gru_units = _to_np(sd[f"{prefix}.encoder.gru.weight_hh_l0"]).shape[1]
+    layer = 0
+    while f"{prefix}.encoder.gru.weight_ih_l{layer}" in sd:
+        enc[f"GRUCell_{layer}"] = _torch_gru_params(
+            sd, f"{prefix}.encoder.gru", layer,
+            f_dim if layer == 0 else 0, gru_units,
+        )
+        layer += 1
+    cvae: Dict[str, Any] = {}
+    for tag in ("acc", "spk"):
+        cvae[f"embedding_layer_{tag}"] = embed_params(
+            sd, f"{prefix}.cvae.embedding_layer_{tag}"
+        )
+        cvae[f"linear_{tag}"] = linear_params(
+            sd, f"{prefix}.cvae.linear_model_{tag}.0"
+        )
+        cvae[f"mu_{tag}"] = linear_params(
+            sd, f"{prefix}.cvae.mu_layer_{tag}.linear"
+        )
+        cvae[f"logvar_{tag}"] = linear_params(
+            sd, f"{prefix}.cvae.logvar_layer_{tag}.linear"
+        )
+    return {"encoder": enc, "cvae": cvae}, {"encoder": enc_stats}
+
+
 def import_fastspeech2(
     state_dict: Dict[str, Any], hparams: Dict[str, Any]
 ) -> Dict[str, Any]:
@@ -354,7 +398,11 @@ def import_fastspeech2(
         raise NotImplementedError(f"unknown building block {block!r}")
 
     # speaker conditioning
-    if "speaker_emb.weight" in sd and sd["speaker_emb.weight"].dim() == 2 and hp.get("spk_dims", -1) != -1:
+    if any(k.startswith("speaker_emb.cvae.") for k in sd):
+        params["speaker_emb"], stats["speaker_emb"] = _accent_encoder_params(
+            sd, "speaker_emb"
+        )
+    elif "speaker_emb.weight" in sd and sd["speaker_emb.weight"].dim() == 2 and hp.get("spk_dims", -1) != -1:
         params["speaker_emb"] = linear_params(sd, "speaker_emb")
     elif "speaker_emb.weight" in sd:
         params["speaker_emb"] = embed_params(sd, "speaker_emb")
@@ -1182,7 +1230,11 @@ def import_adaspeech(
         dec[f"layer_{i}"] = _cln_fft_block_params(sd, f"decoder.layer_stack.{i}")
     params["encoder"], params["decoder"] = enc, dec
 
-    if "speaker_emb.weight" in sd and sd["speaker_emb.weight"].dim() == 2 and hp.get("spk_dims", -1) != -1:
+    if any(k.startswith("speaker_emb.cvae.") for k in sd):
+        params["speaker_emb"], stats["speaker_emb"] = _accent_encoder_params(
+            sd, "speaker_emb"
+        )
+    elif "speaker_emb.weight" in sd and sd["speaker_emb.weight"].dim() == 2 and hp.get("spk_dims", -1) != -1:
         params["speaker_emb"] = linear_params(sd, "speaker_emb")
     elif "speaker_emb.weight" in sd:
         params["speaker_emb"] = embed_params(sd, "speaker_emb")
