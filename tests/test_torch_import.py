@@ -1267,3 +1267,48 @@ def test_fastspeech2_cvae_inference_parity():
             )
         return
     pytest.fail("no non-degenerate seed found")
+
+
+# ---------------------------------------------------------------------------
+# Conversion CLI round-trip
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.skipif(not REFERENCE.exists(), reason="reference not mounted")
+def test_convert_checkpoint_cli_roundtrip(tmp_path):
+    import torch
+    import jax
+    import jax.numpy as jnp
+
+    from viet_tts_tpu.models.hifigan import HiFiGANGenerator
+    from viet_tts_tpu.train import torch_import
+    from viet_tts_tpu.train.checkpoint import load_checkpoint, scan_checkpoint
+
+    _stub_reference_deps()
+    sys.path.insert(0, str(REFERENCE))
+    try:
+        from models.gan_tts.hifigan.generator import HiFiGAN as TorchHiFiGAN
+    finally:
+        sys.path.remove(str(REFERENCE))
+
+    torch.manual_seed(0)
+    tg = TorchHiFiGAN(channels=64).eval()
+    src = tmp_path / "generator_epoch7_iteration123_statedict.pt"
+    torch.save({"state_dict": tg.state_dict(), "optimizer": {}}, src)
+
+    out_dir = tmp_path / "converted"
+    torch_import.main([
+        str(src), "--task", "hifigan", "--config", "config",
+        "--out", str(out_dir),
+    ])
+    found = scan_checkpoint(str(out_dir), "generator")
+    assert found is not None and "epoch7_iteration123" in found
+
+    fg = HiFiGANGenerator(channels=64)
+    mel = np.random.RandomState(0).randn(2, 37, 80).astype(np.float32)
+    target = fg.init(jax.random.PRNGKey(0), jnp.zeros((2, 37, 80)))
+    restored = load_checkpoint(found, dict(target))
+    with torch.no_grad():
+        ref = tg(torch.from_numpy(mel.transpose(0, 2, 1))).numpy()
+    out = np.asarray(fg.apply(restored, jnp.asarray(mel)))[..., 0][:, None]
+    np.testing.assert_allclose(out, ref, atol=2e-6)

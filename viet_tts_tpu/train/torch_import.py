@@ -1279,3 +1279,91 @@ def import_adaspeech(
     if stats:
         out["batch_stats"] = stats
     return out
+
+
+# ---------------------------------------------------------------------------
+# Conversion CLI: reference torch checkpoint -> this framework's msgpack
+# ---------------------------------------------------------------------------
+
+
+def convert_checkpoint(
+    task: str,
+    state_dict: Dict[str, Any],
+    conf: Dict[str, Any],
+    n_channels: int = 80,
+) -> Dict[str, Any]:
+    """Dispatch a reference `state_dict` to the right importer using this
+    framework's merged config (`viet_tts_tpu.config.build_config`)."""
+    models = conf["models"]
+    if task in ("fastspeech2", "text2wav"):
+        return import_fastspeech2(state_dict, models["fastspeech2"])
+    if task == "adaspeech":
+        return import_adaspeech(state_dict, models["adaspeech"])
+    if task == "matcha":
+        return import_matcha(state_dict, models["matcha"])
+    if task == "jets":
+        return import_jets(
+            state_dict, models["jets"]["generator_params"], n_channels
+        )
+    if task == "vits2":
+        return import_vits2(state_dict, models["vits2"])
+    if task == "hifigan":
+        return {"params": import_hifigan_generator(state_dict)}
+    raise ValueError(f"unknown task {task!r}")
+
+
+def main(argv=None):
+    """Convert a reference torch checkpoint
+    (`src/trainer/base.py:110-127`'s ``{"state_dict", "optimizer"}``
+    payload, or a bare state_dict) into this framework's msgpack format,
+    preserving the epoch/iteration encoded in the filename so
+    resume-by-scan picks it up."""
+    import argparse
+    import os
+
+    import torch
+
+    from viet_tts_tpu.config import build_config, derive_task_config
+    from viet_tts_tpu.train.checkpoint import (
+        parse_checkpoint_name,
+        save_checkpoint,
+    )
+
+    ap = argparse.ArgumentParser(
+        description="Convert a reference PyTorch checkpoint to msgpack"
+    )
+    ap.add_argument("checkpoint", help="reference *_statedict.pt file")
+    ap.add_argument("--task", required=True,
+                    choices=["fastspeech2", "adaspeech", "matcha", "jets",
+                             "vits2", "hifigan", "text2wav"])
+    ap.add_argument("--config", default="config", help="config directory")
+    ap.add_argument("--out", required=True, help="output checkpoint dir")
+    ap.add_argument("--prefix", default=None,
+                    help="output name prefix (default: reference convention "
+                         "'generator' for GAN tasks, 'model' otherwise)")
+    args = ap.parse_args(argv)
+
+    payload = torch.load(args.checkpoint, map_location="cpu", weights_only=False)
+    sd = payload.get("state_dict", payload) if isinstance(payload, dict) else payload
+
+    conf = derive_task_config(build_config(args.config), args.task)
+    variables = convert_checkpoint(args.task, sd, conf)
+    try:
+        epoch, iteration = parse_checkpoint_name(args.checkpoint)
+    except ValueError:
+        epoch, iteration = 0, 0
+    prefix = args.prefix or (
+        "generator" if args.task in ("jets", "vits2", "hifigan") else "model"
+    )
+    path = save_checkpoint(args.out, prefix, epoch, iteration, variables)
+    n = len(
+        [None for _ in __import__("flax").traverse_util.flatten_dict(
+            variables.get("params", variables)
+        )]
+    )
+    print(f"wrote {path} ({n} param leaves)")
+    return path
+
+
+if __name__ == "__main__":
+    main()
