@@ -163,3 +163,58 @@ def test_fs2_mixed_precision_train_step():
     )
     for leaf in jax.tree_util.tree_leaves(state16.params):
         assert leaf.dtype == jnp.float32
+
+
+def test_fs2_tensor_parallel_step_matches_single_device():
+    """2-D (data x model) mesh: Megatron-style kernel shardings keep the
+    training-step math identical while actually sharding the big kernels."""
+    from jax.sharding import PartitionSpec as P
+
+    from viet_tts_tpu.parallel.mesh import (
+        MODEL_AXIS,
+        make_mesh,
+        param_partition_specs,
+        shard_batch,
+        shard_params_tp,
+    )
+    from viet_tts_tpu.train.steps import make_fs2_train_step
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >=4 virtual devices")
+    mesh2d = make_mesh(len(jax.devices()), model_parallel=2)
+    n_data = mesh2d.devices.shape[0]
+
+    model, criterion, make_state, batch = _fs2_setup(n_data)
+    step = jax.jit(make_fs2_train_step(model, criterion))
+    key = jax.random.PRNGKey(0)
+
+    state = make_state()
+    specs = param_partition_specs(state.params, model_parallel=2)
+    # the rules must actually fire on the attention/FFN kernels
+    import flax.traverse_util as tu
+
+    flat = tu.flatten_dict(specs)
+    sharded_paths = ["/".join(k) for k, v in flat.items() if v != P()]
+    assert any("w_qs" in p for p in sharded_paths), sharded_paths[:5]
+    assert any("w_2" in p for p in sharded_paths), sharded_paths[:5]
+
+    state_tp = shard_params_tp(mesh2d, state, specs)
+    placed = tu.flatten_dict(state_tp.params)
+    for k, v in flat.items():
+        if v != P():
+            assert placed[k].sharding.spec == v, (k, placed[k].sharding)
+
+    batch_tp = shard_batch(mesh2d, batch)
+    state_ref, metrics_ref = step(make_state(), batch, key)
+    state_out, metrics_tp = step(state_tp, batch_tp, key)
+    for k in metrics_ref:
+        np.testing.assert_allclose(
+            float(metrics_tp[k]), float(metrics_ref[k]),
+            rtol=1e-4, atol=1e-6, err_msg=k,
+        )
+    # second step through the TP-updated params still agrees
+    _, m2_ref = step(state_ref, batch, jax.random.fold_in(key, 1))
+    _, m2_tp = step(state_out, batch_tp, jax.random.fold_in(key, 1))
+    np.testing.assert_allclose(
+        float(m2_tp["total"]), float(m2_ref["total"]), rtol=2e-3
+    )

@@ -4,6 +4,8 @@ from viet_tts_tpu.parallel.mesh import (
     DATA_AXIS,
     MODEL_AXIS,
     data_sharded,
+    param_partition_specs,
+    shard_params_tp,
     make_mesh,
     pad_batch_to_devices,
     replicated,
@@ -15,6 +17,8 @@ __all__ = [
     "DATA_AXIS",
     "MODEL_AXIS",
     "data_sharded",
+    "param_partition_specs",
+    "shard_params_tp",
     "make_mesh",
     "pad_batch_to_devices",
     "replicated",
