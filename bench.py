@@ -208,7 +208,6 @@ def measure_mcd_vs_reference(n_mcep=13):
 
     from viet_tts_tpu.eval.mcd import mcd
     from viet_tts_tpu.models.fastspeech2 import FastSpeech2
-    from viet_tts_tpu.train.state import init_on_cpu
     from viet_tts_tpu.train.torch_import import import_fastspeech2
 
     TorchFS2, _ = _load_reference_models()

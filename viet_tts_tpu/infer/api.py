@@ -406,6 +406,12 @@ class OneStageTTS(_TTSBase):
                 n_speakers=n_spk,
             )
         elif self.model_type == "vits2":
+            if fused_vocoder:
+                raise ValueError(
+                    "fused_vocoder is only wired into the HiFiGAN-family "
+                    "decoders (jets / two-stage); the VITS2 generator has "
+                    "its own decode stack"
+                )
             from viet_tts_tpu.models.vits2 import VITS2
 
             self.model = VITS2(

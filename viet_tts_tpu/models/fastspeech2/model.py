@@ -297,6 +297,11 @@ class FastSpeech2(nn.Module):
                 conv_expansion=bconf["conv_expansion_factor"],
                 kernel_size=bconf["conv_kernel_size"],
                 half_step_residual=bconf["half_step_residual"],
+                # default False mirrors the reference's mask-dropping
+                # nn.Sequential (`blocks/conformer.py`, see nn/conformer.py
+                # NOTE); set true in the config for from-scratch training
+                # with proper attention key masking
+                mask_attn_keys=bool(bconf.get("mask_attn_keys", False)),
             )
             self.encoder = ConformerEncoder(
                 n_symbols=self.n_symbols,

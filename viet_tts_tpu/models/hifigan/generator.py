@@ -252,6 +252,9 @@ class HiFiGANGenerator(nn.Module):
             )(x)
             if (
                 self.fused_mrf
+                # the kernel evaluates the fixed conv1->conv2 chain; without
+                # additional convs the stage stays on the layer path
+                and self.use_additional_convs
                 and not self.is_initializing()
                 and self._fused_stage_fits(ch)
             ):

@@ -18,7 +18,6 @@ from viet_tts_tpu.ops.duration import (
     length_regulator,
     gaussian_upsample,
     average_by_duration,
-    average_channels_by_duration,
     expand_path_average,
     aggregate_by_ids,
 )
@@ -39,7 +38,6 @@ __all__ = [
     "length_regulator",
     "gaussian_upsample",
     "average_by_duration",
-    "average_channels_by_duration",
     "expand_path_average",
     "aggregate_by_ids",
     "get_segments",

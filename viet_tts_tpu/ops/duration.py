@@ -124,35 +124,6 @@ def average_by_duration(
     return jnp.where(counts > 0, sums / jnp.maximum(counts, 1), 0.0)
 
 
-def average_channels_by_duration(
-    ds: jnp.ndarray,
-    xs: jnp.ndarray,
-    text_lens: Optional[jnp.ndarray] = None,
-    feats_lens: Optional[jnp.ndarray] = None,
-) -> jnp.ndarray:
-    """Per-token mean of multi-channel frame features.
-
-    ds: (B, N) durations; xs: (B, T, C) -> (B, N, C)
-    (role of AdaSpeech's get_mel_phoneme_level)."""
-    B, N = ds.shape
-    T = xs.shape[1]
-    ds = ds.astype(jnp.int32)
-    if text_lens is not None:
-        ds = ds * (jnp.arange(N)[None, :] < text_lens[:, None])
-    cum = jnp.cumsum(ds, axis=-1)
-    start = cum - ds
-    t = jnp.arange(T, dtype=jnp.int32)
-    seg = (t[None, None, :] >= start[:, :, None]) & (
-        t[None, None, :] < cum[:, :, None]
-    )
-    if feats_lens is not None:
-        seg = seg & (t[None, None, :] < feats_lens[:, None, None])
-    seg = seg.astype(xs.dtype)
-    sums = jnp.einsum("bnt,btc->bnc", seg, xs)
-    counts = seg.sum(axis=-1)[..., None]
-    return jnp.where(counts > 0, sums / jnp.maximum(counts, 1.0), 0.0)
-
-
 def expand_path_average(
     path: jnp.ndarray, xs: jnp.ndarray
 ) -> jnp.ndarray:

@@ -126,16 +126,34 @@ def param_partition_specs(params: Any, model_parallel: int) -> Any:
 
     flat = traverse_util.flatten_dict(params)
     specs = {}
+
+    def role(path):
+        """'col' / 'row' / None for the module owning this parameter."""
+        module = str(path[-2]) if len(path) >= 2 else ""
+        parent = str(path[-3]) if len(path) >= 3 else ""
+        if module in _TP_COL_MODULES or module.endswith("_w_1"):
+            return "col"
+        if module in _TP_ROW_MODULES or module.endswith("_w_2"):
+            return "row"
+        # FS2-conformer FeedForwardModule: ff1/ff2 wrap two auto-named
+        # Dense layers (in-projection then out-projection)
+        if parent in ("ff1", "ff2"):
+            if module == "Dense_0":
+                return "col"
+            if module == "Dense_1":
+                return "row"
+        return None
+
     for path, leaf in flat.items():
         shape = np.shape(leaf)
-        module = str(path[-2]) if len(path) >= 2 else ""
+        r = role(path)
         spec = P()
         if str(path[-1]) == "kernel" and len(shape) >= 2:
-            if module in _TP_COL_MODULES and shape[-1] % model_parallel == 0:
+            if r == "col" and shape[-1] % model_parallel == 0:
                 spec = P(*([None] * (len(shape) - 1)), MODEL_AXIS)
-            elif module in _TP_ROW_MODULES and shape[-2] % model_parallel == 0:
+            elif r == "row" and shape[-2] % model_parallel == 0:
                 spec = P(*([None] * (len(shape) - 2)), MODEL_AXIS, None)
-        elif str(path[-1]) == "bias" and module in _TP_COL_MODULES and len(
+        elif str(path[-1]) == "bias" and r == "col" and len(
             shape
         ) == 1 and shape[0] % model_parallel == 0:
             spec = P(MODEL_AXIS)

@@ -50,11 +50,14 @@ def make_fs2_train_step(model, criterion, mixed_precision: bool = False) -> Call
         def loss_fn(params):
             if mixed_precision:
                 params = cast_tree(params, half)
-                bstats = cast_tree(state.batch_stats, half)
                 fwd_batch = cast_tree(batch, half)
             else:
-                bstats = state.batch_stats
                 fwd_batch = batch
+            # running BN statistics stay fp32 even under mixed precision:
+            # the momentum update m*ra + (1-m)*stat adds increments far
+            # below one bf16 ulp, so bf16 accumulators would freeze; the
+            # bf16 batch stat upcasts into the fp32 update instead.
+            bstats = state.batch_stats
             (y_pred, y_extra), mut = model.apply(
                 {"params": params, "batch_stats": bstats},
                 text=fwd_batch["text"],

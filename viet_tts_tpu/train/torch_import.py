@@ -1308,7 +1308,26 @@ def convert_checkpoint(
     if task == "vits2":
         return import_vits2(state_dict, models["vits2"])
     if task == "hifigan":
-        return {"params": import_hifigan_generator(state_dict)}
+        hifi = models["hifigan"]
+        return {
+            "params": import_hifigan_generator(
+                state_dict,
+                upsample_scales=tuple(
+                    hifi.get("upsample_rates", (8, 8, 2, 2))
+                ),
+                resblock_kernel_sizes=tuple(
+                    hifi.get("resblock_kernel_sizes", (3, 7, 11))
+                ),
+                resblock_dilations=tuple(
+                    map(
+                        tuple,
+                        hifi.get(
+                            "resblock_dilation_sizes", ((1, 3, 5),) * 3
+                        ),
+                    )
+                ),
+            )
+        }
     raise ValueError(f"unknown task {task!r}")
 
 
