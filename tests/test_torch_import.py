@@ -1312,3 +1312,204 @@ def test_convert_checkpoint_cli_roundtrip(tmp_path):
         ref = tg(torch.from_numpy(mel.transpose(0, 2, 1))).numpy()
     out = np.asarray(fg.apply(restored, jnp.asarray(mel)))[..., 0][:, None]
     np.testing.assert_allclose(out, ref, atol=2e-6)
+
+
+# ---------------------------------------------------------------------------
+# Shipped-config import coverage: the importers must produce trees matching
+# our models when both sides are built from config/ (full-size hparams),
+# not only the tiny test configs above. eval_shape keeps this cheap.
+# ---------------------------------------------------------------------------
+
+
+def _shipped_conf(task):
+    from viet_tts_tpu.config import build_config, derive_task_config
+
+    return derive_task_config(build_config("config"), task)
+
+
+def _tree_matches(variables, model, rngs, /, **shaped_kwargs):
+    """Importer output vs jax.eval_shape(model.init): same keys AND shapes."""
+    import jax
+    from flax import traverse_util
+
+    static = {
+        k: v for k, v in shaped_kwargs.items()
+        if not isinstance(v, jax.ShapeDtypeStruct)
+    }
+    shaped = {
+        k: v for k, v in shaped_kwargs.items()
+        if isinstance(v, jax.ShapeDtypeStruct)
+    }
+    init_shapes = jax.eval_shape(
+        lambda **kw: model.init(rngs, **kw, **static), **shaped
+    )
+    for col in set(variables) | set(
+        c for c in ("params", "batch_stats") if c in init_shapes
+    ):
+        got = traverse_util.flatten_dict(variables.get(col, {}))
+        want = traverse_util.flatten_dict(init_shapes.get(col, {}))
+        assert set(got) == set(want), (
+            col, sorted(set(want) - set(got))[:8],
+            sorted(set(got) - set(want))[:8],
+        )
+        for k, leaf in got.items():
+            assert tuple(np.shape(leaf)) == tuple(want[k].shape), (
+                col, "/".join(k), np.shape(leaf), want[k].shape,
+            )
+
+
+def _sds(shape, dtype=np.float32):
+    import jax
+
+    return jax.ShapeDtypeStruct(shape, dtype)
+
+
+@pytest.mark.skipif(not REFERENCE.exists(), reason="reference not mounted")
+@pytest.mark.parametrize("task", ["fastspeech2", "adaspeech"])
+def test_shipped_config_import_acoustic(task):
+    import copy
+    import jax
+    import torch
+
+    conf = _shipped_conf(task)
+    hp = copy.deepcopy(conf["models"][task])
+    if task == "fastspeech2":
+        hp["vcae"] = copy.deepcopy(conf["models"]["adaspeech"]["vcae"]) \
+            if "vcae" not in hp else hp["vcae"]
+        TorchModel = _load_reference_fs2()
+        from viet_tts_tpu.models.fastspeech2 import FastSpeech2 as FlaxModel
+        from viet_tts_tpu.train.torch_import import import_fastspeech2 as imp
+    else:
+        TorchModel = _load_reference_adaspeech()
+        from viet_tts_tpu.models.adaspeech import AdaSpeech as FlaxModel
+        from viet_tts_tpu.train.torch_import import import_adaspeech as imp
+
+    torch.manual_seed(0)
+    tm = TorchModel(
+        n_symbols=131, n_channels=80, hparams=copy.deepcopy(hp),
+        stats=copy.deepcopy(FS2_STATS), n_speakers=3, n_accents=2,
+    ).eval()
+    fm = FlaxModel(
+        n_symbols=131, n_channels=80, hparams=copy.deepcopy(hp),
+        stats=copy.deepcopy(FS2_STATS), n_speakers=3, n_accents=2,
+    )
+    variables = imp(tm.state_dict(), hp)
+    key = jax.random.PRNGKey(0)
+    B, T_text, T_mel = 2, 16, 64
+    _tree_matches(
+        variables, fm,
+        {"params": key, "dropout": key, "reparam": key},
+        text=_sds((B, T_text), np.int32),
+        text_lengths=_sds((B,), np.int32),
+        feats=_sds((B, T_mel, 80)),
+        feats_lengths=_sds((B,), np.int32),
+        # shipped configs use learn_alignment=True: duration is the prior
+        duration=_sds((B, T_mel, T_text)),
+        pitch=_sds((B, T_mel)),
+        energy=_sds((B, T_mel)),
+        sids=_sds((B,), np.int32),
+        aids=_sds((B,), np.int32),
+        train=True,
+    )
+
+
+@pytest.mark.skipif(not REFERENCE.exists(), reason="reference not mounted")
+def test_shipped_config_import_jets():
+    import copy
+    import jax
+    import torch
+
+    conf = _shipped_conf("jets")
+    hp = copy.deepcopy(conf["models"]["jets"]["generator_params"])
+    from viet_tts_tpu.models.jets import JETS as FlaxJETS
+    from viet_tts_tpu.train.torch_import import import_jets
+
+    TorchJETS = _load_reference_jets()
+    torch.manual_seed(0)
+    tm = TorchJETS(
+        idim=132, odim=80, spks=3, **hp
+    ).eval()
+    fm = FlaxJETS(n_symbols=131, n_channels=80, hparams=dict(hp), n_speakers=3)
+    variables = import_jets(tm.state_dict(), hp)
+    key = jax.random.PRNGKey(0)
+    B, T_text, T_mel = 2, 16, 64
+    _tree_matches(
+        variables, fm,
+        {"params": key, "dropout": key, "noise": key},
+        text=_sds((B, T_text), np.int32),
+        text_lengths=_sds((B,), np.int32),
+        feats=_sds((B, T_mel, 80)),
+        feats_lengths=_sds((B,), np.int32),
+        pitch=_sds((B, T_mel, 1)),
+        energy=_sds((B, T_mel, 1)),
+        sids=_sds((B,), np.int32),
+        train=True,
+    )
+
+
+@pytest.mark.skipif(not REFERENCE.exists(), reason="reference not mounted")
+def test_shipped_config_import_vits2():
+    import copy
+    import jax
+    import torch
+
+    conf = _shipped_conf("vits2")
+    hp = copy.deepcopy(conf["models"]["vits2"])
+    from viet_tts_tpu.models.vits2 import VITS2 as FlaxVITS2
+    from viet_tts_tpu.train.torch_import import import_vits2
+
+    TorchVITS2 = _load_reference_vits2()
+    torch.manual_seed(0)
+    tm = TorchVITS2(n_vocab=131, spec_channels=80, n_speakers=3, **hp).eval()
+    fm = FlaxVITS2(n_symbols=131, hparams=dict(hp), n_speakers=3)
+    variables = import_vits2(tm.state_dict(), hp)
+    key = jax.random.PRNGKey(0)
+    B, T_text, T_spec = 2, 16, 64
+    _tree_matches(
+        variables, fm,
+        {"params": key, "dropout": key, "noise": key, "segment": key},
+        text=_sds((B, T_text), np.int32),
+        text_lengths=_sds((B,), np.int32),
+        feats=_sds((B, T_spec, 80)),
+        feats_lengths=_sds((B,), np.int32),
+        sids=_sds((B,), np.int32),
+        train=True,
+    )
+
+
+@pytest.mark.skipif(not REFERENCE.exists(), reason="reference not mounted")
+def test_shipped_config_import_matcha():
+    import copy
+    import jax
+    import torch
+
+    conf = _shipped_conf("matcha")
+    hp = copy.deepcopy(conf["models"]["matcha"])
+    from viet_tts_tpu.models.matcha import MatchaTTS as FlaxMatcha
+    from viet_tts_tpu.train.torch_import import import_matcha
+
+    TorchMatcha = _load_reference_matcha()
+    torch.manual_seed(0)
+    tm = TorchMatcha(
+        n_symbols=131, n_speakers=3, n_channels=80,
+        hparams=copy.deepcopy(hp), stats=dict(MATCHA_STATS), n_accents=2,
+    ).eval()
+    fm = FlaxMatcha(
+        n_symbols=131, n_channels=80, hparams=copy.deepcopy(hp),
+        stats=dict(MATCHA_STATS), n_speakers=3, n_accents=2,
+    )
+    variables = import_matcha(tm.state_dict(), hp)
+    key = jax.random.PRNGKey(0)
+    B, T_text, T_mel = 2, 16, 64
+    _tree_matches(
+        variables, fm,
+        {"params": key, "dropout": key, "noise": key, "reparam": key},
+        text=_sds((B, T_text), np.int32),
+        text_lengths=_sds((B,), np.int32),
+        feats=_sds((B, T_mel, 80)),
+        feats_lengths=_sds((B,), np.int32),
+        sids=_sds((B,), np.int32),
+        aids=_sds((B,), np.int32),
+        duration=_sds((B, T_mel, T_text)),
+        train=True,
+    )

@@ -46,7 +46,8 @@ TINY_HP = {
     "use_noise_scaled_mas": True,
     "use_duration_discriminator": True,
     "duration_discriminator_type": "dur_disc_1",
-    "n_layers_q": 3,
+    "n_layers_q": 3,  # dead in the reference (generator hardcodes 16)
+    "posterior_layers": 3,
     "n_flows": 1,
     "sdp_n_flows": 1,
     "flow_wn_layers": 2,

@@ -81,7 +81,12 @@ class VITS2(nn.Module):
             hidden_channels=hidden,
             kernel_size=5,
             dilation_rate=1,
-            n_layers=hp.get("n_layers_q", 16),
+            # the reference HARDCODES 16 posterior layers and never reads
+            # its config's n_layers_q (`vits2/generator.py:116-123`), so
+            # the default mirrors that and shipped-config checkpoints
+            # import cleanly; `posterior_layers` (our key, absent from
+            # reference configs) overrides it for small/test models
+            n_layers=hp.get("posterior_layers", 16),
             gin_channels=gin,
         )
         self.emb_g = nn.Embed(self.n_speakers, gin)

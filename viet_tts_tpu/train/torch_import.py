@@ -1156,11 +1156,19 @@ def import_matcha(state_dict: Dict[str, Any], hparams: Dict[str, Any]) -> Dict[s
             )
         },
     }
-    if "speaker_emb.weight" in sd and sd["speaker_emb.weight"].dim() == 2 and hp.get("spk_dims", -1) in (-1, None):
+    stats: Dict[str, Any] = {}
+    if any(k.startswith("speaker_emb.cvae.") for k in sd):
+        params["speaker_emb"], stats["speaker_emb"] = _accent_encoder_params(
+            sd, "speaker_emb"
+        )
+    elif "speaker_emb.weight" in sd and sd["speaker_emb.weight"].dim() == 2 and hp.get("spk_dims", -1) in (-1, None):
         params["speaker_emb"] = embed_params(sd, "speaker_emb")
     elif "speaker_emb.weight" in sd:
         params["speaker_emb"] = linear_params(sd, "speaker_emb")
-    return {"params": params}
+    out = {"params": params}
+    if stats:
+        out["batch_stats"] = stats
+    return out
 
 
 # ---------------------------------------------------------------------------
