@@ -1513,3 +1513,60 @@ def test_shipped_config_import_matcha():
         duration=_sds((B, T_mel, T_text)),
         train=True,
     )
+
+
+@pytest.mark.skipif(not REFERENCE.exists(), reason="reference not mounted")
+def test_shipped_config_import_text2wav():
+    import copy
+    import importlib
+    import jax
+    import torch
+
+    conf = _shipped_conf("text2wav")
+    from tests import espnet_torch_equiv
+
+    espnet_torch_equiv.install(str(REFERENCE))  # espnet2.gan_tts.utils etc.
+    _load_reference_fs2()  # numba/GST stubs + cache reference tts modules
+    sys.path.insert(0, str(REFERENCE))
+    try:
+        mod = importlib.import_module("models.gan_tts.text2wav.model")
+    finally:
+        sys.path.remove(str(REFERENCE))
+
+    from viet_tts_tpu.models.text2wav import Text2Wav as FlaxText2Wav
+    from viet_tts_tpu.train.torch_import import import_text2wav
+
+    hp = copy.deepcopy(conf["models"]["fastspeech2"])
+    torch.manual_seed(0)
+    tm = mod.Text2Wav(
+        vocabs=131,
+        aux_channels=80,
+        text2mel_params=dict(
+            hparams=hp, stats=copy.deepcopy(FS2_STATS),
+            n_speakers=3, n_accents=2,
+        ),
+        mel2wav_params={"segment_size": conf["models"]["hifigan"]["segment_size"]},
+        version="fastspeech2",
+    ).eval()
+    fm = FlaxText2Wav(
+        n_symbols=131, n_channels=80, conf=conf,
+        stats=copy.deepcopy(FS2_STATS), n_speakers=3, n_accents=2,
+        version="fastspeech2",
+    )
+    variables = import_text2wav(tm.state_dict(), conf)
+    key = jax.random.PRNGKey(0)
+    B, T_text, T_mel = 2, 16, 64
+    _tree_matches(
+        variables, fm,
+        {"params": key, "dropout": key, "reparam": key, "noise": key},
+        text=_sds((B, T_text), np.int32),
+        text_lengths=_sds((B,), np.int32),
+        feats=_sds((B, T_mel, 80)),
+        feats_lengths=_sds((B,), np.int32),
+        duration=_sds((B, T_mel, T_text)),
+        pitch=_sds((B, T_mel)),
+        energy=_sds((B, T_mel)),
+        sids=_sds((B,), np.int32),
+        aids=_sds((B,), np.int32),
+        train=True,
+    )

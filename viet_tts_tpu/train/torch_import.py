@@ -1294,16 +1294,63 @@ def import_adaspeech(
 # ---------------------------------------------------------------------------
 
 
+def import_text2wav(
+    state_dict: Dict[str, Any],
+    conf: Dict[str, Any],
+    version: str = "fastspeech2",
+) -> Dict[str, Any]:
+    """Reference joint `Text2Wav` state_dict (`models/gan_tts/text2wav/
+    model.py:43-54`: acoustic under ``text2mel.``, HiFiGAN generator under
+    ``mel2wav.``) -> flax variables for our Text2Wav composer."""
+    t2m = {
+        k[len("text2mel."):]: v
+        for k, v in state_dict.items()
+        if k.startswith("text2mel.")
+    }
+    m2w = {
+        k[len("mel2wav."):]: v
+        for k, v in state_dict.items()
+        if k.startswith("mel2wav.")
+    }
+    models = conf["models"]
+    importer = {
+        "fastspeech2": import_fastspeech2,
+        "adaspeech": import_adaspeech,
+        "matcha": import_matcha,
+    }[version]
+    acoustic = importer(t2m, models[version])
+    hifi = models["hifigan"]
+    voc = import_hifigan_generator(
+        m2w,
+        upsample_scales=tuple(hifi.get("upsample_rates", (8, 8, 2, 2))),
+        resblock_kernel_sizes=tuple(
+            hifi.get("resblock_kernel_sizes", (3, 7, 11))
+        ),
+        resblock_dilations=tuple(
+            map(tuple, hifi.get("resblock_dilation_sizes", ((1, 3, 5),) * 3))
+        ),
+    )
+    out: Dict[str, Any] = {
+        "params": {"text2mel": acoustic["params"], "mel2wav": voc}
+    }
+    if acoustic.get("batch_stats"):
+        out["batch_stats"] = {"text2mel": acoustic["batch_stats"]}
+    return out
+
+
 def convert_checkpoint(
     task: str,
     state_dict: Dict[str, Any],
     conf: Dict[str, Any],
     n_channels: int = 80,
+    version: str = "fastspeech2",
 ) -> Dict[str, Any]:
     """Dispatch a reference `state_dict` to the right importer using this
     framework's merged config (`viet_tts_tpu.config.build_config`)."""
     models = conf["models"]
-    if task in ("fastspeech2", "text2wav"):
+    if task == "text2wav":
+        return import_text2wav(state_dict, conf, version)
+    if task == "fastspeech2":
         return import_fastspeech2(state_dict, models["fastspeech2"])
     if task == "adaspeech":
         return import_adaspeech(state_dict, models["adaspeech"])
@@ -1368,19 +1415,24 @@ def main(argv=None):
     ap.add_argument("--prefix", default=None,
                     help="output name prefix (default: reference convention "
                          "'generator' for GAN tasks, 'model' otherwise)")
+    ap.add_argument("--version", default="fastspeech2",
+                    choices=["fastspeech2", "adaspeech", "matcha"],
+                    help="acoustic submodel of a text2wav joint checkpoint")
     args = ap.parse_args(argv)
 
     payload = torch.load(args.checkpoint, map_location="cpu", weights_only=False)
     sd = payload.get("state_dict", payload) if isinstance(payload, dict) else payload
 
     conf = derive_task_config(build_config(args.config), args.task)
-    variables = convert_checkpoint(args.task, sd, conf)
+    variables = convert_checkpoint(args.task, sd, conf, version=args.version)
     try:
         epoch, iteration = parse_checkpoint_name(args.checkpoint)
     except ValueError:
         epoch, iteration = 0, 0
     prefix = args.prefix or (
-        "generator" if args.task in ("jets", "vits2", "hifigan") else "model"
+        "generator"
+        if args.task in ("jets", "vits2", "hifigan", "text2wav")
+        else "model"
     )
     path = save_checkpoint(args.out, prefix, epoch, iteration, variables)
     n = len(
