@@ -218,3 +218,54 @@ def test_fs2_tensor_parallel_step_matches_single_device():
     np.testing.assert_allclose(
         float(m2_tp["total"]), float(m2_ref["total"]), rtol=2e-3
     )
+
+
+def test_tp_rules_cover_conformer_ffn_kernels():
+    """The partition rules must fire on the FS2-conformer ff1/ff2 Dense
+    pairs and the espnet-conformer *_w_1/*_w_2 FFN convs, not only the
+    FFT-block names."""
+    from jax.sharding import PartitionSpec as P
+    import flax.traverse_util as tu
+
+    from viet_tts_tpu.nn.conformer import ConformerEncoder
+    from viet_tts_tpu.nn.espnet_conformer import EspnetConformerEncoder
+    from viet_tts_tpu.parallel.mesh import MODEL_AXIS, param_partition_specs
+
+    key = jax.random.PRNGKey(0)
+    m = ConformerEncoder(
+        n_symbols=30, n_layers=1, d_model=32, num_heads=2, max_seq_len=64
+    )
+    v = m.init(
+        {"params": key, "dropout": key},
+        jnp.zeros((1, 8), jnp.int32), jnp.zeros((1, 8), bool),
+    )
+    specs = tu.flatten_dict(param_partition_specs(v["params"], 2))
+    by_path = {"/".join(k): s for k, s in specs.items()}
+    assert by_path["layer_0/ff1/Dense_0/kernel"] == P(None, MODEL_AXIS)
+    assert by_path["layer_0/ff1/Dense_1/kernel"] == P(MODEL_AXIS, None)
+    assert by_path["layer_0/mhsa/query_proj/kernel"] == P(None, MODEL_AXIS)
+    assert by_path["layer_0/mhsa/out_proj/kernel"] == P(MODEL_AXIS, None)
+    assert by_path["layer_0/conv/dw_conv/kernel"] == P()  # depthwise stays
+
+    e = EspnetConformerEncoder(
+        d_model=32, num_heads=2, linear_units=64, num_blocks=1
+    )
+    ve = e.init(
+        {"params": key, "dropout": key},
+        jnp.zeros((1, 8, 32)), jnp.ones((1, 8), bool),
+    )
+    specs_e = tu.flatten_dict(param_partition_specs(ve["params"], 2))
+    # FFN convs are 3-D kernels: col = last dim sharded, row = input dim
+    fired_col = [
+        "/".join(k) for k, s in specs_e.items()
+        if k[-1] == "kernel" and "_w_1" in k[-2]
+        and len(s) >= 2 and s[-1] == MODEL_AXIS
+    ]
+    fired_row = [
+        "/".join(k) for k, s in specs_e.items()
+        if k[-1] == "kernel" and "_w_2" in k[-2]
+        and len(s) >= 2 and s[-2] == MODEL_AXIS
+    ]
+    assert fired_col and fired_row, (
+        sorted("/".join(k) for k in specs_e)[:12]
+    )
