@@ -311,7 +311,7 @@ def bench_jets_tpu(fused_mrf: bool = False, batch: int = B):
 
     ``batch`` scales the workload: batched serving amortises the
     small-channel decode stages, so throughput keeps rising past B=16
-    (measured 16M -> 24.6M samples/s and MFU 0.20 -> 0.32 from B=16 to
+    (measured 16M -> 25.1M samples/s and MFU 0.20 -> 0.32 from B=16 to
     B=64 on v5e-1)."""
     import jax
     import jax.numpy as jnp
@@ -569,7 +569,6 @@ def main():
     # the fused-vs-layer comparison is carried by the jets pair above; the
     # two-stage fused variant was measured once (r2: XLA path wins there
     # too) and is dropped to keep driver bench wall-clock flat
-    two_stage_fused = {}
     matcha = try_bench("matcha", bench_matcha_tpu)
     vits2 = try_bench("vits2", bench_vits2_tpu)
     cpu = try_bench("reference torch cpu anchor", bench_reference_cpu)
@@ -577,11 +576,8 @@ def main():
     # fastest fused two-stage graph on TPU, same B x T_MEL workload
     speedup = -1.0
     cpu_extras = {}
-    if cpu and (two_stage or two_stage_fused):
-        best_two_stage = min(
-            r["sec_per_batch"] for r in (two_stage, two_stage_fused) if r
-        )
-        speedup = cpu["sec_per_batch"] / best_two_stage
+    if cpu and two_stage:
+        speedup = cpu["sec_per_batch"] / two_stage["sec_per_batch"]
         cpu_extras = {
             "sec_per_batch_reference_cpu_fs2_hifigan": round(
                 cpu["sec_per_batch"], 5
@@ -594,6 +590,9 @@ def main():
         ).items()
     }
     result = {
+        # 'fused' = the single text->waveform JETS graph (not the Pallas
+        # fused-MRF variant); value = best samples/sec over the batch
+        # sizes benched (B=16 and B=64)
         "metric": "jets_fused_text2wav_inference",
         "value": round(
             max(
@@ -635,7 +634,6 @@ def main():
         ("fs2_mel_frames_per_sec", fs2, "mel_frames_per_sec"),
         ("rtf_fs2_mel", fs2, "rtf"),
         ("rtf_fs2_hifigan_two_stage", two_stage, "rtf"),
-        ("rtf_fs2_hifigan_two_stage_fused_mrf", two_stage_fused, "rtf"),
         ("rtf_matcha_ode10", matcha, "rtf"),
         ("rtf_vits2_e2e", vits2, "rtf"),
     ):

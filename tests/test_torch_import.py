@@ -1374,8 +1374,7 @@ def test_shipped_config_import_acoustic(task):
     conf = _shipped_conf(task)
     hp = copy.deepcopy(conf["models"][task])
     if task == "fastspeech2":
-        hp["vcae"] = copy.deepcopy(conf["models"]["adaspeech"]["vcae"]) \
-            if "vcae" not in hp else hp["vcae"]
+        assert "vcae" in hp  # shipped config carries the CVAE block
         TorchModel = _load_reference_fs2()
         from viet_tts_tpu.models.fastspeech2 import FastSpeech2 as FlaxModel
         from viet_tts_tpu.train.torch_import import import_fastspeech2 as imp

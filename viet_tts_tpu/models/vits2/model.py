@@ -50,6 +50,20 @@ class VITS2(nn.Module):
     mas_noise_scale_initial: float = 0.01
     noise_scale_delta: float = 2e-6
 
+    @staticmethod
+    def _posterior_layers(hp) -> int:
+        n = int(hp.get("posterior_layers", 16))
+        if "posterior_layers" not in hp and hp.get("n_layers_q", 16) != 16:
+            import warnings
+
+            warnings.warn(
+                f"n_layers_q={hp['n_layers_q']} is ignored (the reference "
+                "hardcodes 16 posterior layers; set posterior_layers to "
+                "actually change the depth)",
+                stacklevel=2,
+            )
+        return n
+
     def setup(self):
         hp = self.hparams
         self.segment_size = int(hp.get("segment_size", 8192))
@@ -86,7 +100,7 @@ class VITS2(nn.Module):
             # the default mirrors that and shipped-config checkpoints
             # import cleanly; `posterior_layers` (our key, absent from
             # reference configs) overrides it for small/test models
-            n_layers=hp.get("posterior_layers", 16),
+            n_layers=self._posterior_layers(hp),
             gin_channels=gin,
         )
         self.emb_g = nn.Embed(self.n_speakers, gin)

@@ -1312,6 +1312,12 @@ def import_text2wav(
         for k, v in state_dict.items()
         if k.startswith("mel2wav.")
     }
+    if not t2m or not m2w:
+        raise ValueError(
+            "not a joint Text2Wav checkpoint: expected text2mel./mel2wav. "
+            "key prefixes; convert acoustic-only or vocoder-only "
+            "checkpoints with their own --task instead"
+        )
     models = conf["models"]
     importer = {
         "fastspeech2": import_fastspeech2,
