@@ -255,3 +255,22 @@ def test_unknown_flow_type_rejected():
             jnp.ones((1, 8, 1)),
             train=False,
         )
+
+
+def test_posterior_layers_warning():
+    """n_layers_q without posterior_layers warns (the reference hardcodes
+    16 posterior layers; the key is dead there)."""
+    import warnings
+
+    from viet_tts_tpu.models.vits2.model import VITS2
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert VITS2._posterior_layers({"n_layers_q": 3}) == 16
+        assert w and "n_layers_q" in str(w[0].message)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert VITS2._posterior_layers(
+            {"n_layers_q": 3, "posterior_layers": 3}
+        ) == 3
+        assert not w
