@@ -745,6 +745,15 @@ def test_vits2_inference_parity_pre_conv_sdp():
 
 
 @pytest.mark.skipif(not REFERENCE.exists(), reason="reference not mounted")
+def test_vits2_inference_parity_fft_flow():
+    """transformer_flow_type="fft" round-trips: causal-FFT coupling layers
+    (`vits2/layers.py:626-684`) import and match at inference."""
+    hp = dict(VITS2_HP)
+    hp.update(transformer_flow_type="fft")
+    _vits2_inference_parity(hp)
+
+
+@pytest.mark.skipif(not REFERENCE.exists(), reason="reference not mounted")
 def test_vits2_inference_parity_mono_layer_deterministic_dp():
     hp = dict(VITS2_HP)
     hp.update(

@@ -926,6 +926,34 @@ def _vits_generator_params(sd, prefix: str, hp: Dict[str, Any]) -> Dict[str, Any
     return out
 
 
+def _causal_fft_params(sd, prefix: str, n_layers: int) -> Dict[str, Any]:
+    """FFT decoder stack with WN-gated speaker injection
+    (`vits2/attentions.py:556-643`) -> our CausalFFT."""
+    out: Dict[str, Any] = {}
+    for i in range(n_layers):
+        out[f"attn_{i}"] = _vits_attention_params(
+            sd, f"{prefix}.self_attn_layers.{i}"
+        )
+        out[f"norm0_{i}"] = _vits_ln_params(sd, f"{prefix}.norm_layers_0.{i}")
+        out[f"ffn_{i}"] = {
+            "conv_1": plain_conv1d_params(sd, f"{prefix}.ffn_layers.{i}.conv_1"),
+            "conv_2": plain_conv1d_params(sd, f"{prefix}.ffn_layers.{i}.conv_2"),
+        }
+        out[f"norm1_{i}"] = _vits_ln_params(sd, f"{prefix}.norm_layers_1.{i}")
+    if (
+        f"{prefix}.cond_layer.weight_v" in sd
+        or f"{prefix}.cond_layer.weight" in sd
+    ):
+        # weight-normed 1x1 conv over (B, gin, 1) == Dense over (B, gin)
+        w = effective_weight(sd, f"{prefix}.cond_layer")  # (out, in, 1)
+        out["cond_layer"] = {
+            "kernel": np.ascontiguousarray(w[:, :, 0].T),  # (in, out)
+            "bias": _to_np(sd[f"{prefix}.cond_layer.bias"]),
+        }
+        out["cond_pre"] = plain_conv1d_params(sd, f"{prefix}.cond_pre")
+    return out
+
+
 def _vits_flow_block_params(sd, prefix: str, hp: Dict[str, Any]) -> Dict[str, Any]:
     """ResidualCouplingTransformersBlock (`vits2/layers.py:342-472`)."""
     ftype = hp.get("transformer_flow_type", "pre_conv")
@@ -938,6 +966,18 @@ def _vits_flow_block_params(sd, prefix: str, hp: Dict[str, Any]) -> Dict[str, An
     for fi in range(n_flows):
         base = fi * per
         lp = f"{prefix}.flows.{base}"
+        if ftype == "fft":
+            # FFTransformerCouplingLayer (`vits2/layers.py:626-684`): the
+            # coupling net is a causal FFT stack, not a WN stack. The block
+            # constructs it with dilation_rate(=1) in the n_layers slot
+            # (`vits2/layers.py:395-408`), so the stack is 1 layer deep.
+            layer = {
+                "pre": plain_conv1d_params(sd, f"{lp}.pre"),
+                "enc": _causal_fft_params(sd, f"{lp}.enc", n_layers=1),
+                "post": plain_conv1d_params(sd, f"{lp}.post"),
+            }
+            out[f"flows_{base}"] = layer
+            continue
         layer: Dict[str, Any] = {
             "pre": plain_conv1d_params(sd, f"{lp}.pre"),
             "enc": _wn_params(sd, f"{lp}.enc", _wn_layer_count(sd, f"{lp}.enc")),
@@ -950,10 +990,6 @@ def _vits_flow_block_params(sd, prefix: str, hp: Dict[str, Any]) -> Dict[str, An
         elif ftype == "pre_conv2":
             layer["pre_transformer"] = _vits_encoder_params(
                 sd, f"{lp}.pre_transformer", 1
-            )
-        elif ftype == "fft":
-            raise NotImplementedError(
-                "fft coupling import not supported yet"
             )
         out[f"flows_{base}"] = layer
         if mono:
