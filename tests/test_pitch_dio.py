@@ -24,22 +24,36 @@ def _resonate(s, fc, bw, sr=SR):
                    [1, -2 * r * np.cos(theta), r * r], s)
 
 
-def speech_fixture(seed=0):
+def speech_fixture(seed=0, f0_base=155.0, f0_vib=20.0, h2_boost=1.0,
+                   am_onset=0.0):
     """(audio, frame ground-truth F0 in Hz (0 = unvoiced)).
 
-    Layout: 0.15s silence | 0.8s voiced vibrato (135..175 Hz) | 0.25s
-    unvoiced fricative | 0.1s silence.
+    Layout: 0.15s silence | 0.8s voiced vibrato | 0.25s unvoiced
+    fricative | 0.1s silence.
+
+    Stress knobs (VERDICT r2 item 6): ``f0_base``/``f0_vib`` move the
+    contour to the 80-90 Hz male-creak floor or the 350-400 Hz ceiling;
+    ``h2_boost`` over-weights the second harmonic (the classic octave-up
+    bait); ``am_onset`` > 0 amplitude-modulates voicing on/offsets with a
+    ramp of that many seconds.
     """
     rng = np.random.RandomState(seed)
     sil1 = np.zeros(int(0.15 * SR))
     nv = int(0.8 * SR)
     t = np.arange(nv) / SR
-    f0 = 155 + 20 * np.sin(2 * np.pi * 2.5 * t)
+    f0 = f0_base + f0_vib * np.sin(2 * np.pi * 2.5 * t)
     phase = 2 * np.pi * np.cumsum(f0) / SR
-    voiced = sum(np.sin(h * phase) / h for h in range(1, 30))
+    weights = {h: (h2_boost if h == 2 else 1.0) / h for h in range(1, 30)}
+    voiced = sum(w * np.sin(h * phase) for h, w in weights.items())
     for fc, bw in [(600, 90), (1400, 120), (2600, 220)]:
         voiced = _resonate(voiced, fc, bw)
     voiced = voiced / np.max(np.abs(voiced))
+    if am_onset > 0:
+        n_ramp = min(int(am_onset * SR), nv // 2)
+        env = np.ones(nv)
+        env[:n_ramp] = np.linspace(0.0, 1.0, n_ramp)
+        env[-n_ramp:] = np.linspace(1.0, 0.0, n_ramp)
+        voiced = voiced * env
     voiced += rng.randn(nv) * 0.01  # light additive noise
     nf = int(0.25 * SR)
     fric = _resonate(rng.randn(nf), 4500, 1500) * 0.15
@@ -51,7 +65,7 @@ def speech_fixture(seed=0):
     gt = np.zeros(n_frames)
     v0, v1 = 0.15, 0.15 + 0.8
     in_v = (ft >= v0) & (ft < v1)
-    gt[in_v] = 155 + 20 * np.sin(2 * np.pi * 2.5 * (ft[in_v] - v0))
+    gt[in_v] = f0_base + f0_vib * np.sin(2 * np.pi * 2.5 * (ft[in_v] - v0))
     return audio, ft, gt
 
 
@@ -76,16 +90,76 @@ def _score(f0_hz, gt, margin=3):
     return recall, false_alarm, rmse
 
 
-def test_dio_tracks_speech_fixture():
+def _octave_error_rate(f0_hz, gt, margin=3):
+    """Fraction of agreed-voiced frames whose error exceeds half an octave
+    (i.e. the tracker locked onto a harmonic/subharmonic)."""
+    v_gt = gt > 0
+    edges = np.nonzero(np.diff(v_gt.astype(int)))[0]
+    keep = np.ones(len(gt), bool)
+    for e in edges:
+        keep[max(0, e - margin) : e + margin + 1] = False
+    both = (f0_hz > 0) & v_gt & keep
+    if not both.any():
+        return 1.0
+    return float(
+        (np.abs(np.log2(f0_hz[both] / gt[both])) > 0.5).mean()
+    )
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_dio_tracks_speech_fixture(seed):
     from viet_tts_tpu.dsp.dio import dio, stonemask
 
-    audio, ft, gt = speech_fixture()
+    audio, ft, gt = speech_fixture(seed)
     f0, t = dio(audio, SR, hop_length=HOP)
     f0 = stonemask(audio, f0, t, SR)
     recall, fa, rmse = _score(f0[: len(gt)], gt)
     assert recall > 0.90, recall
     assert fa < 0.10, fa
     assert rmse < 0.02, rmse  # < ~2% (35 cents); typical DIO-grade accuracy
+    assert _octave_error_rate(f0[: len(gt)], gt) < 0.01
+
+
+STRESS_CASES = {
+    # 80-90 Hz male creak with a dominant 2nd harmonic: the octave-up bait
+    "low_f0_strong_h2": dict(f0_base=85.0, f0_vib=4.0, h2_boost=2.5),
+    # 345-395 Hz, hugging DIO's default 400 Hz ceiling
+    "high_f0_near_ceiling": dict(f0_base=370.0, f0_vib=25.0),
+    # amplitude-modulated voicing onset/offset (100 ms ramps)
+    "am_voicing_edges": dict(am_onset=0.1),
+}
+
+
+@pytest.mark.parametrize("case", sorted(STRESS_CASES))
+@pytest.mark.parametrize("seed", [1, 7])
+def test_dio_stress_matrix(case, seed):
+    """Octave-error rate ~= 0 and DIO-grade RMSE across the stress matrix
+    (reference pitch-target semantics: `src/tools/tools_for_data.py:134-139`)."""
+    from viet_tts_tpu.dsp.dio import dio, stonemask
+
+    kw = STRESS_CASES[case]
+    audio, ft, gt = speech_fixture(seed, **kw)
+    f0, t = dio(audio, SR, hop_length=HOP)
+    f0 = stonemask(audio, f0, t, SR)
+    # AM edges: exclude the ramp region from scoring (sub-gate energy is
+    # legitimately unvoiced to any tracker); elsewhere the default margin
+    margin = int(0.1 * SR / HOP) + 3 if kw.get("am_onset") else 3
+    recall, fa, rmse = _score(f0[: len(gt)], gt, margin=margin)
+    assert recall > 0.85, (case, recall)
+    assert fa < 0.10, (case, fa)
+    assert rmse < 0.03, (case, rmse)
+    assert _octave_error_rate(f0[: len(gt)], gt, margin=margin) < 0.01, case
+
+
+@pytest.mark.parametrize("case", sorted(STRESS_CASES))
+def test_nccf_stress_octave_errors(case):
+    """The fast NCCF tracker also stays octave-stable on the stress cases."""
+    from viet_tts_tpu.dsp.pitch import extract_f0
+
+    audio, ft, gt = speech_fixture(1, **STRESS_CASES[case])
+    f0 = extract_f0(audio, SR, HOP, use_log_f0=False, target_len=len(gt))
+    margin = int(0.1 * SR / HOP) + 3 if case == "am_voicing_edges" else 3
+    assert _octave_error_rate(f0, gt, margin=margin) < 0.02, case
 
 
 def test_stonemask_corrects_coarse_contour():
