@@ -142,8 +142,53 @@ def test_fs2_sharded_steps_iterate(mesh):
 
 def test_jets_gan_sharded_step(mesh):
     """One sharded JETS adversarial step (generator + discriminator
-    updates) runs on the mesh with finite losses."""
+    updates) runs on the mesh with finite losses (and, with >=4 devices,
+    the tp+dp variant inside the dryrun asserts loss-identity)."""
     ge._dryrun_jets_gan(mesh, mesh.devices.size)
+
+
+def test_jets_gan_tensor_parallel_matches_single_device():
+    """2-D (data x model) mesh on the ADVERSARIAL step: Megatron shardings
+    on the JETS generator encoder/decoder keep both the disc and gen
+    updates loss-identical to the unsharded step (VERDICT r2 item 5)."""
+    from jax.sharding import PartitionSpec as P
+    import flax.traverse_util as tu
+
+    from viet_tts_tpu.parallel.mesh import (
+        make_mesh,
+        param_partition_specs,
+        shard_batch,
+        shard_params_tp,
+    )
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >=4 virtual devices")
+    mesh2d = make_mesh(len(jax.devices()), model_parallel=2)
+    n_data = mesh2d.devices.shape[0]
+
+    step, make_gen_state, make_disc_state, batch = ge._jets_gan_setup(
+        n_data * 2
+    )
+    key = jax.random.PRNGKey(0)
+    _, _, metrics_ref = step(make_gen_state(), make_disc_state(), batch, key)
+
+    gen_tp = make_gen_state()
+    specs = param_partition_specs(gen_tp.params, model_parallel=2)
+    flat = tu.flatten_dict(specs)
+    sharded_paths = ["/".join(k) for k, v in flat.items() if v != P()]
+    # the rules must fire on the espnet encoder/decoder attention + FFN
+    assert any("linear_q" in p for p in sharded_paths), sharded_paths[:5]
+    assert any("w_2" in p for p in sharded_paths), sharded_paths[:5]
+    gen_tp = shard_params_tp(mesh2d, gen_tp, specs)
+
+    _, _, metrics_tp = step(
+        gen_tp, make_disc_state(), shard_batch(mesh2d, batch), key
+    )
+    for k in metrics_ref:
+        np.testing.assert_allclose(
+            float(metrics_tp[k]), float(metrics_ref[k]),
+            rtol=2e-4, atol=1e-6, err_msg=k,
+        )
 
 
 def test_fs2_mixed_precision_train_step():
