@@ -191,6 +191,128 @@ def test_jets_gan_tensor_parallel_matches_single_device():
         )
 
 
+def _vits2_gan_setup(B):
+    """Tiny VITS2 3-optimizer adversarial step for the TP tests."""
+    import jax.numpy as jnp
+
+    from tests.test_vits2 import TINY_HP
+    from viet_tts_tpu.models.vits2 import (
+        VITS2,
+        DurationDiscriminator,
+        MultiPeriodDiscriminator,
+    )
+    from viet_tts_tpu.train.state import TrainState, adamw_with_clip, init_on_cpu
+    from viet_tts_tpu.train.vits2_trainer import make_vits2_train_step
+
+    hp = dict(TINY_HP)
+    model = VITS2(n_symbols=131, hparams=hp, n_speakers=2, spec_channels=80)
+    disc = MultiPeriodDiscriminator(periods=(2,))
+    dur_disc = DurationDiscriminator(
+        in_channels=hp["hidden_channels"],
+        filter_channels=hp["hidden_channels"],
+        variant="dur_disc_1",
+    )
+    T_text, T_mel, hop = 9, 40, 256
+    rng = np.random.RandomState(0)
+    batch = dict(
+        text=jnp.asarray(rng.randint(1, 131, (B, T_text))),
+        text_lengths=jnp.full((B,), T_text, jnp.int32),
+        feats=jnp.asarray(rng.randn(B, T_mel, 80).astype(np.float32)),
+        feats_lengths=jnp.full((B,), T_mel, jnp.int32),
+        sids=jnp.zeros((B,), jnp.int32),
+        speech=jnp.asarray(0.1 * rng.randn(B, T_mel * hop).astype(np.float32)),
+    )
+    key = jax.random.PRNGKey(0)
+    rngs = {"params": key, "dropout": key, "noise": key, "segment": key}
+    gv = init_on_cpu(
+        model.init, rngs,
+        **{k: v for k, v in batch.items() if k != "speech"},
+        step=0, train=True,
+    )
+    seg = int(hp.get("segment_size", 8192))
+    dv = init_on_cpu(
+        disc.init, key,
+        np.zeros((2, seg, 1), np.float32), np.zeros((2, seg, 1), np.float32),
+    )
+    ddv = init_on_cpu(
+        dur_disc.init, key,
+        np.zeros((2, T_text, hp["hidden_channels"]), np.float32),
+        np.ones((2, T_text, 1), np.float32),
+        np.zeros((2, T_text, 1), np.float32),
+        np.zeros((2, T_text, 1), np.float32),
+    )
+    mel_kw = dict(
+        sr=22050, n_fft=1024, hop_length=hop, win_length=1024, window="hann",
+        n_mels=80, fmin=0.0, fmax=None, log_base=None,
+    )
+    step = jax.jit(
+        make_vits2_train_step(
+            model, disc, dur_disc, mel_kw, {"c_mel": 45.0, "c_kl": 1.0}, hop
+        )
+    )
+
+    def make_states():
+        return (
+            TrainState.create(
+                apply_fn=model.apply, params=gv["params"],
+                tx=adamw_with_clip(2e-4),
+            ),
+            TrainState.create(
+                apply_fn=disc.apply, params=dv["params"],
+                tx=adamw_with_clip(2e-4),
+            ),
+            TrainState.create(
+                apply_fn=dur_disc.apply, params=ddv["params"],
+                tx=adamw_with_clip(2e-4),
+            ),
+        )
+
+    return step, make_states, batch
+
+
+def test_vits2_gan_tensor_parallel_matches_single_device():
+    """2-D (data x model) mesh on the VITS2 3-optimizer step: TP shardings
+    on the generator (text-encoder attention kernels) keep all three
+    updates loss-identical to the unsharded step."""
+    from jax.sharding import PartitionSpec as P
+    import flax.traverse_util as tu
+
+    from viet_tts_tpu.parallel.mesh import (
+        make_mesh,
+        param_partition_specs,
+        shard_batch,
+        shard_params_tp,
+    )
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >=4 virtual devices")
+    mesh2d = make_mesh(len(jax.devices()), model_parallel=2)
+    n_data = mesh2d.devices.shape[0]
+
+    step, make_states, batch = _vits2_gan_setup(n_data * 2)
+    key = jax.random.PRNGKey(0)
+    gen_s, disc_s, dur_s = make_states()
+    _, _, _, metrics_ref = step(gen_s, disc_s, dur_s, batch, key)
+
+    gen_tp, disc_tp, dur_tp = make_states()
+    specs = param_partition_specs(gen_tp.params, model_parallel=2)
+    flat = tu.flatten_dict(specs)
+    sharded_paths = ["/".join(k) for k, v in flat.items() if v != P()]
+    # rules must fire on the VITS attention 1x1-conv kernels
+    assert any("conv_q" in p for p in sharded_paths), sharded_paths[:5]
+    assert any("conv_o" in p for p in sharded_paths), sharded_paths[:5]
+    gen_tp = shard_params_tp(mesh2d, gen_tp, specs)
+
+    _, _, _, metrics_tp = step(
+        gen_tp, disc_tp, dur_tp, shard_batch(mesh2d, batch), key
+    )
+    for k in metrics_ref:
+        np.testing.assert_allclose(
+            float(metrics_tp[k]), float(metrics_ref[k]),
+            rtol=2e-4, atol=1e-6, err_msg=k,
+        )
+
+
 def test_fs2_mixed_precision_train_step():
     """bf16 mixed-precision step (train.mixed_precision): finite losses,
     close to the fp32 step, params stay fp32."""
