@@ -215,3 +215,32 @@ def test_jets_conformer_variant():
         method=model.inference,
     )
     assert wav.shape == (2, 64 * 256)
+
+
+def test_shipped_config_discriminator_params():
+    """The shipped espnet-style `discriminator_params` block (in_channels,
+    nonlinear_activation, use_spectral_norm, ...) must construct and run the
+    MSMPD exactly as JETSTrainer wires it (`train/gan.py:__init_model__`)."""
+    from viet_tts_tpu.config import build_config, derive_task_config
+
+    conf = derive_task_config(build_config(os.path.join(REPO, "config")), "jets")
+    dp = conf["models"]["jets"]["discriminator_params"]
+    disc = MultiScaleMultiPeriodDiscriminator(
+        scales=dp.get("scales", 1),
+        scale_params=dp.get("scale_discriminator_params"),
+        periods=tuple(dp.get("periods", (2, 3, 5, 7, 11))),
+        period_params=dp.get("period_discriminator_params"),
+    )
+    x = np.zeros((2, 1024, 1), np.float32)
+    v = disc.init(jax.random.PRNGKey(0), x)
+    outs = disc.apply(v, x)
+    # 1 scale + 5 periods, each a list of per-layer feature maps
+    assert len(outs) == 1 + 5
+    assert all(np.isfinite(np.asarray(o[-1])).all() for o in outs)
+    # the espnet negative_slope rides into our lrelu_slope field
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="spectral"):
+        MultiScaleMultiPeriodDiscriminator(
+            scale_params={"use_spectral_norm": True},
+        ).init(jax.random.PRNGKey(0), x)

@@ -74,13 +74,36 @@ class PeriodDiscriminator(nn.Module):
         return outs
 
 
+def _espnet_disc_kw(kw) -> Dict[str, Any]:
+    """Translate espnet-style discriminator param dicts (the reference's
+    `*_discriminator_params` config blocks, `discriminator.py:25-60,219-253`)
+    onto our dataclass fields; unsupported non-default options fail loudly
+    instead of being silently dropped."""
+    kw = dict(kw or {})
+    kw.pop("in_channels", None)  # implied by the input tensor
+    act = kw.pop("nonlinear_activation", "LeakyReLU")
+    if act != "LeakyReLU":
+        raise ValueError(f"unsupported discriminator activation: {act!r}")
+    act_params = kw.pop("nonlinear_activation_params", None) or {}
+    if "negative_slope" in act_params:
+        kw.setdefault("lrelu_slope", act_params["negative_slope"])
+    if kw.pop("use_spectral_norm", False):
+        raise ValueError(
+            "use_spectral_norm=True is not supported (the shipped configs "
+            "use weight norm)"
+        )
+    if not kw.pop("bias", True):
+        raise ValueError("bias=False is not supported")
+    return kw
+
+
 class MultiPeriodDiscriminator(nn.Module):
     periods: Sequence[int] = (2, 3, 5, 7, 11)
     params_: Dict[str, Any] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> List[List[jnp.ndarray]]:
-        kw = dict(self.params_ or {})
+        kw = _espnet_disc_kw(self.params_)
         return [
             PeriodDiscriminator(period=p, name=f"period_{p}", **kw)(x)
             for p in self.periods
@@ -167,7 +190,7 @@ class MultiScaleDiscriminator(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> List[List[jnp.ndarray]]:
-        kw = dict(self.params_ or {})
+        kw = _espnet_disc_kw(self.params_)
         outs = []
         for i in range(self.scales):
             outs.append(ScaleDiscriminator(name=f"scale_{i}", **kw)(x))
