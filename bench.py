@@ -1,8 +1,25 @@
-"""Benchmark: batched FastSpeech2 mel inference on TPU vs torch-CPU anchor.
+"""Benchmark harness: TPU inference + training throughput vs torch-CPU anchor.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+Prints a consolidated JSON line {"metric", "value", "unit", "vs_baseline", ...}
+after EVERY completed stage (the driver parses the tail; the last complete
+line wins), so a slow or hung stage can never lose the round's numbers again
+(round-2 failure mode: one line printed only after nine stages; rc=124 ->
+zero captured numbers).
+
+Structure:
+- the parent process (this file, no args) runs pure Python: it spawns each
+  stage GROUP as a subprocess with a hard wall-clock timeout, streams the
+  per-stage JSON dicts the children print, merges them, and re-emits the
+  consolidated superset line immediately.
+- ``python bench.py --stages a,b,c`` is the child entry: runs the named
+  stages in-process, printing one JSON dict line per finished stage.
+- all JAX stages enable the persistent compilation cache (.jax_cache/), so
+  repeated runs (and the driver's end-of-round run) skip the expensive
+  remote axon compiles.
+
 The reference publishes no numbers (BASELINE.md), so vs_baseline anchors
-against a same-architecture PyTorch-CPU forward measured here.
+against the reference's OWN torch code (`models/tts/fastspeech2/model.py:105-193`
++ `models/gan_tts/hifigan/generator.py:132-156`) measured on CPU here.
 """
 
 from __future__ import annotations
@@ -19,41 +36,247 @@ sys.path.insert(0, REPO)
 
 SR = 22050
 HOP = 256
-B = 16  # batched inference
+B = 16          # batched inference
 T_TEXT = 64
 T_MEL = 512
+TRAIN_B = 8     # the reference's train batch (`config/train_config.yaml:2`)
+REFERENCE = "/root/reference"
+
+REF_STATS = {
+    "pitch": {"min": -3.0, "max": 8.0, "mean": 0.0, "std": 1.0},
+    "energy": {"min": -3.0, "max": 8.0, "mean": 0.0, "std": 1.0},
+}
 
 
-def bench_tpu():
+def note(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: axon remote compiles can take
+    minutes; cache hits load in <1s and survive across processes/rounds."""
+    import jax
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache")
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
+
+
+# ---------------------------------------------------------------------------
+# shared helpers
+# ---------------------------------------------------------------------------
+
+
+def _conf(task):
+    from viet_tts_tpu.config import build_config, derive_task_config
+
+    return derive_task_config(build_config(os.path.join(REPO, "config")), task)
+
+
+def _honest_time(fn, *args, n_iters=6):
+    """min sec/call with true host-sync (block_until_ready does not block on
+    the axon remote runtime; a host scalar fetch is the only real sync)."""
+    out = fn(*args)
+    float(_jax_sum(out))
+    out = fn(*args)
+    float(_jax_sum(out))  # second warmup: first post-compile call still settles
+    times = []
+    for _ in range(n_iters):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        float(_jax_sum(out))
+        times.append(time.perf_counter() - t0)
+    return min(times)
+
+
+def _jax_sum(out):
+    import jax.numpy as jnp
+
+    leaf = out[0] if isinstance(out, (tuple, list)) else out
+    if isinstance(leaf, dict):
+        leaf = next(iter(leaf.values()))
+    return jnp.sum(leaf)
+
+
+def _cost_flops(jitted_fn, *args):
+    """Analytic flop count of the compiled graph (XLA cost analysis).
+    With the persistent cache on, lower().compile() is a cache hit of the
+    executable the jit call already built."""
+    try:
+        compiled = jitted_fn.lower(*args).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        return flops if flops > 0 else None
+    except Exception:
+        return None
+
+
+def _peak_flops():
+    """bf16 MXU peak of the attached chip (fp32 matmuls on TPU run through
+    the bf16 MXU datapath, so this is the right MFU denominator)."""
+    import jax
+
+    kind = getattr(jax.devices()[0], "device_kind", "").lower()
+    table = {
+        "v6": 918e12, "v5p": 459e12, "v5": 197e12, "lite": 197e12,
+        "v4": 275e12,
+    }
+    for k, v in table.items():
+        if k in kind:
+            return v
+    return 197e12
+
+
+def _platform():
+    import jax
+
+    return jax.devices()[0].platform
+
+
+# ---------------------------------------------------------------------------
+# inference stages (TPU)
+# ---------------------------------------------------------------------------
+
+
+def _bench_jets(batch=B, fused_mrf=False, prefix="jets", variables=None,
+                n_speakers=2):
+    """Fused JETS text->waveform single-graph inference (headline config)."""
     import jax
     import jax.numpy as jnp
 
-    from viet_tts_tpu.config import build_config, derive_task_config
+    from viet_tts_tpu.infer.api import cast_floating
+    from viet_tts_tpu.models.jets import JETS
+    from viet_tts_tpu.text import NUM_SYMBOLS
+    from viet_tts_tpu.train.state import init_on_cpu
+
+    conf = _conf("jets")
+    hp = dict(conf["models"]["jets"]["generator_params"])
+    hp["fused_mrf"] = fused_mrf
+    model = JETS(
+        n_symbols=NUM_SYMBOLS, n_channels=80, hparams=hp,
+        n_speakers=n_speakers,
+    )
+    rng = np.random.RandomState(0)
+    key = jax.random.PRNGKey(0)
+    text = jnp.asarray(rng.randint(1, NUM_SYMBOLS, (batch, T_TEXT)).astype(np.int32))
+    text_lens = jnp.asarray(np.full(batch, T_TEXT, np.int32))
+    sids = jnp.asarray(np.zeros(batch, np.int32))
+
+    if variables is None:
+        variables = init_on_cpu(
+            model.init,
+            {"params": key, "dropout": key, "noise": key},
+            sids, text, text_lens, T_MEL,
+            method=model.inference,
+        )
+
+    @jax.jit
+    def synth(variables, sids, text, text_lens):
+        return model.apply(
+            variables, sids, text, text_lens, T_MEL, method=model.inference
+        )
+
+    dt = _honest_time(synth, variables, sids, text, text_lens)
+    v16 = cast_floating(variables, jnp.bfloat16)
+    dt16 = _honest_time(synth, v16, sids, text, text_lens)
+
+    samples = batch * T_MEL * HOP  # static budget (audio_accounting note)
+    audio_seconds = samples / SR
+    out = {
+        f"rtf_{prefix}": dt / audio_seconds,
+        f"rtf_{prefix}_bf16": dt16 / audio_seconds,
+        f"{prefix}_samples_per_sec": samples / dt,
+        f"{prefix}_bf16_samples_per_sec": samples / dt16,
+        "platform": _platform(),
+    }
+    flops = _cost_flops(synth, variables, sids, text, text_lens)
+    if flops:
+        out[f"mfu_{prefix}"] = flops / dt / _peak_flops()
+        out[f"mfu_{prefix}_bf16"] = flops / dt16 / _peak_flops()
+    if prefix == "jets":
+        out["jets_mel_frames_per_sec"] = samples / HOP / dt
+        out["sec_per_batch_jets"] = dt
+    # predicted-length accounting (round-1 weak #3): wav_lens from the
+    # model's own duration predictor instead of the static frame budget
+    wav, wav_lens = synth(variables, sids, text, text_lens)
+    pred_seconds = float(np.sum(np.asarray(wav_lens))) / SR
+    if pred_seconds > 0:
+        out[f"rtf_{prefix}_predicted_audio"] = dt / pred_seconds
+        out[f"{prefix}_predicted_audio_seconds"] = pred_seconds
+    return out
+
+
+def stage_jets():
+    return _bench_jets(B, False, "jets")
+
+
+def stage_jets_fused():
+    # mfu key name kept from r01/r02 ("mfu_jets_fused")
+    out = _bench_jets(B, True, "jets_fused_mrf")
+    for old, new in (("mfu_jets_fused_mrf", "mfu_jets_fused"),
+                     ("mfu_jets_fused_mrf_bf16", "mfu_jets_fused_bf16")):
+        if old in out:
+            out[new] = out.pop(old)
+    return out
+
+
+def stage_jets_b64():
+    return _bench_jets(64, False, "jets_b64")
+
+
+def stage_jets_imported():
+    """RTF with the reference's own (imported) weights and the resulting
+    predicted audio lengths (VERDICT r2 item 7): the duration predictor is
+    real, so rtf_*_predicted_audio reflects non-degenerate durations."""
+    import copy
+
+    import torch
+
+    from tests.test_torch_import import _load_reference_jets
+    from viet_tts_tpu.train.torch_import import import_jets
+
+    conf = _conf("jets")
+    hp = copy.deepcopy(conf["models"]["jets"]["generator_params"])
+    TorchJETS = _load_reference_jets()
+    torch.manual_seed(0)
+    tm = TorchJETS(idim=132, odim=80, spks=2, **hp).eval()
+    variables = import_jets(tm.state_dict(), hp)
+    del tm
+    out = _bench_jets(B, False, "jets_imported", variables=variables)
+    return {
+        k: v for k, v in out.items()
+        if "predicted" in k or k == "rtf_jets_imported"
+    }
+
+
+def stage_fs2():
+    """Config 1: batched FastSpeech2 mel-only inference."""
+    import jax
+    import jax.numpy as jnp
+
     from viet_tts_tpu.models.fastspeech2 import FastSpeech2
     from viet_tts_tpu.text import NUM_SYMBOLS
+    from viet_tts_tpu.train.state import init_on_cpu
 
-    conf = derive_task_config(build_config(os.path.join(REPO, "config")), "fastspeech2")
-    stats = {
-        "pitch": {"min": -3.0, "max": 8.0, "mean": 0.0, "std": 1.0},
-        "energy": {"min": -3.0, "max": 8.0, "mean": 0.0, "std": 1.0},
-    }
+    conf = _conf("fastspeech2")
     model = FastSpeech2(
-        n_symbols=NUM_SYMBOLS,
-        n_channels=80,
-        hparams=conf["models"]["fastspeech2"],
-        stats=stats,
-        n_speakers=2,
+        n_symbols=NUM_SYMBOLS, n_channels=80,
+        hparams=conf["models"]["fastspeech2"], stats=REF_STATS, n_speakers=2,
     )
-
     rng = np.random.RandomState(0)
     key = jax.random.PRNGKey(0)
     text = jnp.asarray(rng.randint(1, NUM_SYMBOLS, (B, T_TEXT)).astype(np.int32))
     text_lens = jnp.asarray(np.full(B, T_TEXT, np.int32))
     feats = jnp.asarray(rng.randn(B, T_MEL, 80).astype(np.float32))
-    sids = jnp.asarray(np.zeros(B, np.int32))
-    aids = jnp.asarray(np.zeros(B, np.int32))
-
-    from viet_tts_tpu.train.state import init_on_cpu
+    sids = jnp.zeros(B, jnp.int32)
+    aids = jnp.zeros(B, jnp.int32)
 
     variables = init_on_cpu(
         model.init,
@@ -69,37 +292,326 @@ def bench_tpu():
             method=model.inference,
         )
 
-    # warmup/compile (NOTE: block_until_ready does not reliably block on the
-    # axon remote runtime; a host scalar fetch is the only true sync)
-    mel, mel_lens, _ = synth(variables, sids, text, text_lens, feats, aids)
-    float(mel.sum())
-    mel, mel_lens, _ = synth(variables, sids, text, text_lens, feats, aids)
-    float(mel.sum())  # second warmup: first post-compile call still settles
-
-    n_iters = 10
-    times = []
-    for _ in range(n_iters):
-        t0 = time.perf_counter()
-        mel, mel_lens, _ = synth(variables, sids, text, text_lens, feats, aids)
-        float(mel.sum())
-        times.append(time.perf_counter() - t0)
-    dt = min(times)
-
-    # throughput/RTF against the static frame budget: the jitted graph
-    # computes all B*T_MEL frames regardless of predicted durations (random
-    # init predicts near-zero lengths, which would make RTF meaningless)
+    dt = _honest_time(synth, variables, sids, text, text_lens, feats, aids)
     frames = B * T_MEL
-    audio_seconds = frames * HOP / SR
     return {
-        "sec_per_batch": dt,
-        "mel_frames_per_sec": frames / dt,
-        "rtf": dt / max(audio_seconds, 1e-9),
-        "platform": jax.devices()[0].platform,
-        "device": str(jax.devices()[0]),
+        "fs2_mel_frames_per_sec": frames / dt,
+        "rtf_fs2_mel": dt / (frames * HOP / SR),
+        "platform": _platform(),
     }
 
 
-REFERENCE = "/root/reference"
+def stage_two_stage():
+    """Config 2: FS2 conformer mel -> HiFi-GAN waveform, one fused graph."""
+    import jax
+    import jax.numpy as jnp
+
+    from viet_tts_tpu.models.fastspeech2 import FastSpeech2
+    from viet_tts_tpu.models.hifigan import HiFiGANGenerator
+    from viet_tts_tpu.text import NUM_SYMBOLS
+    from viet_tts_tpu.train.state import init_on_cpu
+
+    conf = _conf("fastspeech2")
+    acoustic = FastSpeech2(
+        n_symbols=NUM_SYMBOLS, n_channels=80,
+        hparams=conf["models"]["fastspeech2"], stats=REF_STATS, n_speakers=2,
+    )
+    vocoder = HiFiGANGenerator()
+
+    rng = np.random.RandomState(0)
+    key = jax.random.PRNGKey(0)
+    text = jnp.asarray(rng.randint(1, NUM_SYMBOLS, (B, T_TEXT)).astype(np.int32))
+    lens = jnp.asarray(np.full(B, T_TEXT, np.int32))
+    feats = jnp.asarray(rng.randn(B, T_MEL, 80).astype(np.float32))
+    sids = jnp.zeros(B, jnp.int32)
+    aids = jnp.zeros(B, jnp.int32)
+    av = init_on_cpu(
+        acoustic.init, {"params": key, "dropout": key, "reparam": key},
+        sids, text, lens, T_MEL, feats=feats, aids=aids,
+        method=acoustic.inference,
+    )
+    vv = init_on_cpu(vocoder.init, key, feats)
+
+    @jax.jit
+    def synth(av, vv, sids, text, lens, feats, aids):
+        mel, mel_lens, _ = acoustic.apply(
+            av, sids, text, lens, T_MEL, feats=feats, aids=aids,
+            method=acoustic.inference,
+        )
+        return vocoder.apply(vv, mel)[..., 0], mel_lens
+
+    dt = _honest_time(synth, av, vv, sids, text, lens, feats, aids)
+    out = {
+        "rtf_fs2_hifigan_two_stage": dt / (B * T_MEL * HOP / SR),
+        "sec_per_batch_two_stage": dt,
+    }
+    flops = _cost_flops(synth, av, vv, sids, text, lens, feats, aids)
+    if flops:
+        out["mfu_two_stage"] = flops / dt / _peak_flops()
+    return out
+
+
+def stage_matcha(n_timesteps=10):
+    """Config 4: Matcha CFM Euler ODE sampling (10 fixed steps)."""
+    import jax
+    import jax.numpy as jnp
+
+    from viet_tts_tpu.models.matcha import MatchaTTS
+    from viet_tts_tpu.text import NUM_SYMBOLS
+    from viet_tts_tpu.train.state import init_on_cpu
+
+    conf = _conf("matcha")
+    model = MatchaTTS(
+        n_symbols=NUM_SYMBOLS, n_channels=80,
+        hparams=conf["models"]["matcha"],
+        stats={"mel_mean": 0.0, "mel_std": 1.0}, n_speakers=2,
+    )
+    rng = np.random.RandomState(0)
+    key = jax.random.PRNGKey(0)
+    text = jnp.asarray(rng.randint(1, NUM_SYMBOLS, (B, T_TEXT)).astype(np.int32))
+    lens = jnp.asarray(np.full(B, T_TEXT, np.int32))
+    feats = jnp.asarray(rng.randn(B, T_MEL, 80).astype(np.float32))
+    sids = jnp.zeros(B, jnp.int32)
+    aids = jnp.zeros(B, jnp.int32)
+    rngs = {"params": key, "dropout": key, "reparam": key, "noise": key}
+    v = init_on_cpu(
+        model.init, rngs, sids, text, lens, T_MEL, feats=feats, aids=aids,
+        n_timesteps=n_timesteps, method=model.inference,
+    )
+
+    @jax.jit
+    def synth(v, sids, text, lens, feats, aids):
+        return model.apply(
+            v, sids, text, lens, T_MEL, feats=feats, aids=aids,
+            n_timesteps=n_timesteps, method=model.inference,
+            rngs={"noise": jax.random.PRNGKey(0)},
+        )
+
+    dt = _honest_time(synth, v, sids, text, lens, feats, aids)
+    return {"rtf_matcha_ode10": dt / (B * T_MEL * HOP / SR)}
+
+
+def stage_vits2():
+    """Config 5: VITS2 end-to-end flows + SDP."""
+    import jax
+    import jax.numpy as jnp
+
+    from viet_tts_tpu.models.vits2 import VITS2
+    from viet_tts_tpu.text import NUM_SYMBOLS
+    from viet_tts_tpu.train.state import init_on_cpu
+
+    conf = _conf("vits2")
+    model = VITS2(
+        n_symbols=NUM_SYMBOLS, hparams=conf["models"]["vits2"],
+        n_speakers=2, spec_channels=80,
+    )
+    rng = np.random.RandomState(0)
+    key = jax.random.PRNGKey(0)
+    text = jnp.asarray(rng.randint(1, NUM_SYMBOLS, (B, 2 * T_TEXT + 1)).astype(np.int32))
+    lens = jnp.asarray(np.full(B, 2 * T_TEXT + 1, np.int32))
+    sids = jnp.zeros(B, jnp.int32)
+    v = init_on_cpu(
+        model.init,
+        {"params": key, "dropout": key, "noise": key, "segment": key},
+        sids, text, lens, T_MEL, method=model.inference,
+    )
+
+    @jax.jit
+    def synth(v, sids, text, lens):
+        return model.apply(
+            v, sids, text, lens, T_MEL, method=model.inference,
+            rngs={"noise": jax.random.PRNGKey(0)},
+        )
+
+    dt = _honest_time(synth, v, sids, text, lens)
+    return {"rtf_vits2_e2e": dt / (B * T_MEL * HOP / SR)}
+
+
+# ---------------------------------------------------------------------------
+# training stages (TPU) — the reference is a TRAINING framework
+# (`src/trainer/base.py:146-159`); VERDICT r2 item 2
+# ---------------------------------------------------------------------------
+
+
+def _fs2_train_setup():
+    import jax
+    import jax.numpy as jnp
+
+    from viet_tts_tpu.models.fastspeech2 import FastSpeech2, FastSpeech2Loss
+    from viet_tts_tpu.text import NUM_SYMBOLS
+    from viet_tts_tpu.train.state import TrainState, adamw_with_clip, init_on_cpu
+
+    conf = _conf("fastspeech2")
+    model = FastSpeech2(
+        n_symbols=NUM_SYMBOLS, n_channels=80,
+        hparams=conf["models"]["fastspeech2"], stats=REF_STATS, n_speakers=2,
+    )
+    rng = np.random.RandomState(0)
+    Bt, Tt, Tm = TRAIN_B, T_TEXT, T_MEL
+    batch = dict(
+        text=jnp.asarray(rng.randint(1, NUM_SYMBOLS, (Bt, Tt)).astype(np.int32)),
+        text_lengths=jnp.asarray(np.full(Bt, Tt, np.int32)),
+        feats=jnp.asarray(rng.randn(Bt, Tm, 80).astype(np.float32)),
+        feats_lengths=jnp.asarray(np.full(Bt, Tm, np.int32)),
+        duration=jnp.asarray(rng.rand(Bt, Tm, Tt).astype(np.float32)),
+        pitch=jnp.asarray(rng.randn(Bt, Tm).astype(np.float32)),
+        energy=jnp.asarray(rng.randn(Bt, Tm).astype(np.float32)),
+        sids=jnp.zeros(Bt, jnp.int32),
+        aids=jnp.zeros(Bt, jnp.int32),
+        word_ids=jnp.zeros((Bt, Tt), jnp.int32),
+    )
+    key = jax.random.PRNGKey(0)
+    variables = init_on_cpu(
+        model.init,
+        {"params": key, "dropout": key, "reparam": key},
+        step=0, train=True,
+        **{k: v for k, v in batch.items() if k != "word_ids"},
+    )
+    loss_conf = dict(conf["train"]["fastspeech2"]["loss"])
+    ve = conf["models"]["fastspeech2"]["variance"]["variance_embedding"]
+    loss_conf["pitch_feature_level"] = ve["pitch_feature"]
+    loss_conf["energy_feature_level"] = ve["energy_feature"]
+    criterion = FastSpeech2Loss(loss_conf)
+    state = TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        tx=adamw_with_clip(2e-4),
+        batch_stats=variables.get("batch_stats", {}),
+    )
+    return model, criterion, state, batch
+
+
+def _bench_fs2_train(mixed_precision):
+    import jax
+
+    from viet_tts_tpu.train.steps import make_fs2_train_step
+
+    model, criterion, state, batch = _fs2_train_setup()
+    step = jax.jit(make_fs2_train_step(model, criterion, mixed_precision))
+    key = jax.random.PRNGKey(0)
+
+    def run(state, batch, key):
+        _, metrics = step(state, batch, key)
+        return metrics["total"]
+
+    dt = _honest_time(run, state, batch, key)
+    tag = "train_fs2_bf16" if mixed_precision else "train_fs2"
+    out = {
+        f"{tag}_steps_per_sec": 1.0 / dt,
+        f"{tag}_sec_per_step": dt,
+    }
+    flops = _cost_flops(step, state, batch, key)
+    if flops:
+        out[f"{tag}_mfu"] = flops / dt / _peak_flops()
+    return out
+
+
+def stage_train_fs2():
+    """Full-config FS2 train step (fwd+bwd+AdamW), fp32."""
+    return _bench_fs2_train(False)
+
+
+def stage_train_fs2_bf16():
+    """Same step under bf16 mixed precision (fp32 master params)."""
+    return _bench_fs2_train(True)
+
+
+def stage_train_jets_gan():
+    """Full-config JETS adversarial step: gen fwd, disc update on detached
+    segments, gen update vs the updated disc (`jets_trainer.py:135-200`)."""
+    import jax
+    import jax.numpy as jnp
+
+    from viet_tts_tpu.models.hifigan import (
+        MelSpectrogramLoss,
+        MultiScaleMultiPeriodDiscriminator,
+    )
+    from viet_tts_tpu.models.jets import JETS
+    from viet_tts_tpu.text import NUM_SYMBOLS
+    from viet_tts_tpu.train.gan import make_jets_train_step
+    from viet_tts_tpu.train.state import TrainState, adamw_with_clip, init_on_cpu
+
+    conf = _conf("jets")
+    hp = dict(conf["models"]["jets"]["generator_params"])
+    model = JETS(n_symbols=NUM_SYMBOLS, n_channels=80, hparams=hp, n_speakers=2)
+    dp = conf["models"]["jets"].get("discriminator_params", {})
+    disc = MultiScaleMultiPeriodDiscriminator(
+        scales=dp.get("scales", 1),
+        scale_params=dp.get("scale_discriminator_params"),
+        periods=tuple(dp.get("periods", (2, 3, 5, 7, 11))),
+        period_params=dp.get("period_discriminator_params"),
+    )
+    loss_conf = conf["train"]["jets"]["loss"]
+    lambdas = {
+        "adv": loss_conf.get("lambda_adv", 1.0),
+        "mel": loss_conf.get("lambda_mel", 45.0),
+        "fm": loss_conf.get("lambda_feat_match", 2.0),
+        "var": loss_conf.get("lambda_var", 1.0),
+        "align": loss_conf.get("lambda_align", 2.0),
+    }
+    a = conf["audio"]
+    mel_loss = MelSpectrogramLoss(
+        fs=a["signal"]["sampling_rate"],
+        n_fft=a["stft"]["filter_length"],
+        hop_length=a["stft"]["hop_length"],
+        win_length=a["stft"]["win_length"],
+        window=a["stft"]["window"],
+        n_mels=a["mel"]["channels"],
+        fmin=a["mel"]["fmin"],
+        fmax=a["mel"]["fmax"],
+        log_base=None,
+    )
+
+    rng = np.random.RandomState(0)
+    Bt, Tt, Tm = TRAIN_B, T_TEXT, T_MEL
+    batch = dict(
+        text=jnp.asarray(rng.randint(1, NUM_SYMBOLS, (Bt, Tt)).astype(np.int32)),
+        text_lengths=jnp.asarray(np.full(Bt, Tt, np.int32)),
+        feats=jnp.asarray(rng.randn(Bt, Tm, 80).astype(np.float32)),
+        feats_lengths=jnp.asarray(np.full(Bt, Tm, np.int32)),
+        pitch=jnp.asarray(rng.randn(Bt, Tm).astype(np.float32)),
+        energy=jnp.asarray(rng.randn(Bt, Tm).astype(np.float32)),
+        sids=jnp.zeros(Bt, jnp.int32),
+        speech=jnp.asarray(0.1 * rng.randn(Bt, Tm * HOP).astype(np.float32)),
+    )
+    key = jax.random.PRNGKey(0)
+    gv = init_on_cpu(
+        model.init,
+        {"params": key, "dropout": key, "noise": key},
+        text=batch["text"], text_lengths=batch["text_lengths"],
+        feats=batch["feats"], feats_lengths=batch["feats_lengths"],
+        pitch=batch["pitch"][..., None], energy=batch["energy"][..., None],
+        sids=batch["sids"], train=True,
+    )
+    seg = int(hp.get("segment_size", 64)) * HOP
+    dv = init_on_cpu(disc.init, key, np.zeros((2, seg, 1), np.float32))
+    gen_state = TrainState.create(
+        apply_fn=model.apply, params=gv["params"],
+        tx=adamw_with_clip(2e-4), batch_stats=gv.get("batch_stats", {}),
+    )
+    disc_state = TrainState.create(
+        apply_fn=disc.apply, params=dv["params"], tx=adamw_with_clip(2e-4)
+    )
+    step = jax.jit(make_jets_train_step(model, disc, mel_loss, lambdas, HOP))
+
+    def run(gen_state, disc_state, batch, key):
+        _, _, metrics = step(gen_state, disc_state, batch, key)
+        return metrics["gen"]
+
+    dt = _honest_time(run, gen_state, disc_state, batch, key)
+    out = {
+        "train_jets_gan_steps_per_sec": 1.0 / dt,
+        "train_jets_gan_sec_per_step": dt,
+    }
+    flops = _cost_flops(step, gen_state, disc_state, batch, key)
+    if flops:
+        out["train_jets_gan_mfu"] = flops / dt / _peak_flops()
+    return out
+
+
+# ---------------------------------------------------------------------------
+# CPU stages: reference torch anchor, MCD probes, input pipeline
+# ---------------------------------------------------------------------------
 
 
 def _load_reference_models():
@@ -132,13 +644,7 @@ def _reference_fs2_hparams():
     return hp, cfg["hifigan"]
 
 
-REF_STATS = {
-    "pitch": {"min": -3.0, "max": 8.0, "mean": 0.0, "std": 1.0},
-    "energy": {"min": -3.0, "max": 8.0, "mean": 0.0, "std": 1.0},
-}
-
-
-def bench_reference_cpu():
+def stage_cpu_anchor():
     """The honest anchor (BASELINE.md): the reference's own
     `FastSpeech2.forward` (`models/tts/fastspeech2/model.py:105-193`,
     conformer-384 config) + its own `HiFiGAN` generator on torch-CPU over
@@ -190,16 +696,17 @@ def bench_reference_cpu():
     dt = dt_small * (B / b)
     assert wav.shape[-1] == T_MEL * HOP
     return {
-        "sec_per_batch": dt,
-        "sec_per_batch_measured": dt_small,
-        "measured_batch": b,
-        "mel_frames_per_sec": B * T_MEL / dt,
+        "sec_per_batch_reference_cpu_fs2_hifigan": dt,
+        "cpu_anchor_measured_batch": b,
+        "cpu_anchor_sec_measured": dt_small,
     }
 
 
-def measure_mcd_vs_reference(n_mcep=13):
-    """BASELINE target 3 on bench hardware: import the reference FS2's
-    weights, synthesize the same inputs both ways, report MCD (dB)."""
+def stage_mcd(n_mcep=13):
+    """BASELINE target 3: import the reference FS2's weights, synthesize the
+    same inputs both ways, report MCD (dB). Runs on CPU (forced by the
+    parent): unjitted dispatch on the axon remote backend costs a per-op
+    compile round-trip."""
     import copy
 
     import torch
@@ -277,373 +784,295 @@ def measure_mcd_vs_reference(n_mcep=13):
     return {}
 
 
-def _cost_flops(jitted_fn, *args):
-    """Analytic flop count of the compiled graph (XLA cost analysis)."""
-    try:
-        compiled = jitted_fn.lower(*args).compile()
-        ca = compiled.cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        flops = float(ca.get("flops", 0.0))
-        return flops if flops > 0 else None
-    except Exception:
-        return None
+def stage_mcd_jets(n_mcep=13):
+    """Same probe for the GAN family (VERDICT r2 item 8): import a seeded
+    reference JETS, run both inferences on identical inputs, re-extract mel
+    from both waveforms with our LogMelFbank and report MCD."""
+    import copy
 
-
-def _peak_flops():
-    """bf16 MXU peak of the attached chip (fp32 matmuls on TPU run through
-    the bf16 MXU datapath, so this is the right MFU denominator)."""
-    import jax
-
-    kind = getattr(jax.devices()[0], "device_kind", "").lower()
-    table = {
-        "v6": 918e12, "v5p": 459e12, "v5": 197e12, "lite": 197e12,
-        "v4": 275e12,
-    }
-    for k, v in table.items():
-        if k in kind:
-            return v
-    return 197e12
-
-
-def bench_jets_tpu(fused_mrf: bool = False, batch: int = B):
-    """Headline config: fused JETS text->waveform single-graph inference.
-
-    ``batch`` scales the workload: batched serving amortises the
-    small-channel decode stages, so throughput keeps rising past B=16
-    (measured 16M -> 25.1M samples/s and MFU 0.20 -> 0.32 from B=16 to
-    B=64 on v5e-1)."""
-    import jax
+    import torch
     import jax.numpy as jnp
 
-    from viet_tts_tpu.config import build_config, derive_task_config
+    from tests.test_torch_import import _load_reference_jets
+    from viet_tts_tpu.dsp.stft import log_mel_spectrogram
+    from viet_tts_tpu.eval.mcd import mcd
     from viet_tts_tpu.models.jets import JETS
-    from viet_tts_tpu.text import NUM_SYMBOLS
-    from viet_tts_tpu.train.state import init_on_cpu
+    from viet_tts_tpu.train.torch_import import import_jets
 
-    conf = derive_task_config(build_config(os.path.join(REPO, "config")), "jets")
-    hp = dict(conf["models"]["jets"]["generator_params"])
-    hp["fused_mrf"] = fused_mrf
-    model = JETS(
-        n_symbols=NUM_SYMBOLS,
-        n_channels=80,
-        hparams=hp,
-        n_speakers=2,
-    )
-    rng = np.random.RandomState(0)
-    key = jax.random.PRNGKey(0)
-    text = jnp.asarray(rng.randint(1, NUM_SYMBOLS, (batch, T_TEXT)).astype(np.int32))
-    text_lens = jnp.asarray(np.full(batch, T_TEXT, np.int32))
-    sids = jnp.asarray(np.zeros(batch, np.int32))
+    conf = _conf("jets")
+    hp = copy.deepcopy(conf["models"]["jets"]["generator_params"])
+    TorchJETS = _load_reference_jets()
+    torch.manual_seed(0)
+    tm = TorchJETS(idim=132, odim=80, spks=2, **hp).eval()
+    fm = JETS(n_symbols=131, n_channels=80, hparams=dict(hp), n_speakers=2)
+    variables = import_jets(tm.state_dict(), hp)
 
-    variables = init_on_cpu(
-        model.init,
-        {"params": key, "dropout": key, "noise": key},
-        sids, text, text_lens, T_MEL,
-        method=model.inference,
-    )
-
-    @jax.jit
-    def synth(variables, sids, text, text_lens):
-        return model.apply(
-            variables, sids, text, text_lens, T_MEL, method=model.inference
+    rng = np.random.RandomState(5)
+    Bp, Tt, Tm = 2, 16, 48
+    text = rng.randint(1, 131, (Bp, Tt))
+    lens = np.asarray([Tt, 12])
+    text[1, 12:] = 0
+    sids = np.asarray([0, 1])
+    feats = rng.randn(Bp, Tm, 80).astype(np.float32)  # GST reference mel
+    with torch.no_grad():
+        t_wav, t_wav_lens = tm.inference(
+            torch.from_numpy(text).long(),
+            torch.from_numpy(lens).long(),
+            feats=torch.from_numpy(feats),
+            sids=torch.from_numpy(sids).long(),
         )
+    t_wav = t_wav.numpy()
+    up = int(np.prod(hp.get("generator_upsample_scales", [8, 8, 2, 2])))
+    max_mel = t_wav.shape[-1] // up
+    j_wav, j_wav_lens = fm.apply(
+        variables, jnp.asarray(sids), jnp.asarray(text), jnp.asarray(lens),
+        int(max_mel), feats=jnp.asarray(feats), method=fm.inference,
+    )
+    j_wav = np.asarray(j_wav)
+    if not np.array_equal(np.asarray(j_wav_lens), t_wav_lens.numpy()):
+        return {"mcd_vs_reference_jets": -1.0}
+    vals = []
+    for i in range(Bp):
+        n = int(t_wav_lens[i])
+        m_t = np.asarray(log_mel_spectrogram(jnp.asarray(t_wav[i, :n])))
+        m_j = np.asarray(log_mel_spectrogram(jnp.asarray(j_wav[i, :n])))
+        vals.append(mcd(m_j, m_t, n_mcep))
+    return {"mcd_vs_reference_jets": float(np.mean(vals))}
 
-    wav, wav_lens = synth(variables, sids, text, text_lens)
-    float(wav.sum())
-    wav, wav_lens = synth(variables, sids, text, text_lens)
-    float(wav.sum())  # second warmup
 
-    n_iters = 10
-    times = []
-    for _ in range(n_iters):
+def stage_input_pipeline():
+    """Host data-pipeline throughput (VERDICT r2 item 9): time the bucketed
+    batcher (C++ collate underneath) over a synthetic cached dataset; the
+    parent divides by the TPU train-step time for input_pipeline_frac."""
+    import tempfile
+
+    from tests.synth_data import build_dataset
+    from viet_tts_tpu.config import build_config, derive_task_config
+    from viet_tts_tpu.data.batching import BucketBatcher
+    from viet_tts_tpu.data.dataset import AcousticDataset
+    from viet_tts_tpu.data.filelist import create_filelist, read_filelist
+
+    with tempfile.TemporaryDirectory() as workdir:
+        data_dir, egs_dir = build_dataset(workdir, n_utts=16)
+        conf = derive_task_config(
+            build_config(os.path.join(REPO, "config")), "fastspeech2"
+        )
+        if not os.path.exists(os.path.join(egs_dir, "train.txt")):
+            create_filelist(data_dir, {"hn_spk": 0, "hcm_spk": 1}, egs_dir, seed=0)
+        train = read_filelist(os.path.join(egs_dir, "train.txt"))
+        ds = AcousticDataset(
+            train, conf["audio"], {"hn_spk": 0, "hcm_spk": 1}, {"hn": 0, "hcm": 1}
+        )
+        # one warm epoch (feature cache built), then timed epochs
+        n_batches = 0
+        for _ in BucketBatcher(ds, TRAIN_B, seed=0):
+            n_batches += 1
         t0 = time.perf_counter()
-        wav, wav_lens = synth(variables, sids, text, text_lens)
-        float(wav.sum())
-        times.append(time.perf_counter() - t0)
-    dt = min(times)
+        count = 0
+        for epoch in range(max(1, 30 // max(n_batches, 1))):
+            for _ in BucketBatcher(ds, TRAIN_B, seed=epoch):
+                count += 1
+        dt = (time.perf_counter() - t0) / max(count, 1)
+    return {"input_pipeline_sec_per_batch": dt}
 
-    # bf16 serving mode (half=True in the API)
-    from viet_tts_tpu.infer.api import cast_floating
 
-    v16 = cast_floating(variables, jnp.bfloat16)
-    dt16 = _honest_time(synth, v16, sids, text, text_lens)
+# ---------------------------------------------------------------------------
+# orchestration
+# ---------------------------------------------------------------------------
 
-    samples = batch * T_MEL * HOP  # static budget (see mel bench note)
-    audio_seconds = samples / SR
-    out = {
-        "sec_per_batch": dt,
-        "rtf_bf16": dt16 / audio_seconds,
-        "samples_per_sec": samples / dt,
-        "mel_frames_per_sec": samples / HOP / dt,
-        "rtf": dt / max(audio_seconds, 1e-9),
-        "platform": jax.devices()[0].platform,
+STAGES = {
+    "jets": stage_jets,
+    "fs2": stage_fs2,
+    "two_stage": stage_two_stage,
+    "matcha": stage_matcha,
+    "vits2": stage_vits2,
+    "train_fs2": stage_train_fs2,
+    "train_fs2_bf16": stage_train_fs2_bf16,
+    "train_jets_gan": stage_train_jets_gan,
+    "jets_fused": stage_jets_fused,
+    "jets_imported": stage_jets_imported,
+    "jets_b64": stage_jets_b64,
+    "cpu_anchor": stage_cpu_anchor,
+    "mcd": stage_mcd,
+    "mcd_jets": stage_mcd_jets,
+    "input_pipeline": stage_input_pipeline,
+}
+
+# (group name, stages, wall-clock timeout sec, kind). Ordered most-valuable
+# first; each group is one subprocess so a hang forfeits only that group.
+PROCESS_GROUPS = [
+    ("tpu_core", ["jets", "fs2", "two_stage"], 1800, "tpu"),
+    ("cpu_anchor", ["cpu_anchor"], 600, "cpu-torch"),
+    ("tpu_rest", ["matcha", "vits2"], 900, "tpu"),
+    ("tpu_train", ["train_fs2", "train_fs2_bf16", "train_jets_gan"], 1800, "tpu"),
+    ("tpu_variants", ["jets_fused", "jets_imported", "jets_b64"], 1800, "tpu"),
+    ("cpu_eval", ["mcd", "mcd_jets", "input_pipeline"], 900, "cpu-jax"),
+]
+
+
+def run_stages(names):
+    """Child entry: run stages in-process, print one JSON dict per stage."""
+    for name in names:
+        t0 = time.monotonic()
+        note(f"bench: {name}")
+        try:
+            result = STAGES[name]()
+        except Exception:
+            import traceback
+
+            note(f"bench {name} FAILED:\n{traceback.format_exc(limit=6)}")
+            continue
+        note(f"bench: {name} done in {time.monotonic() - t0:.1f}s")
+        if result:
+            print(json.dumps({k: _jsonable(v) for k, v in result.items()}),
+                  flush=True)
+
+
+def _jsonable(v):
+    if isinstance(v, (np.floating, np.integer)):
+        return v.item()
+    if hasattr(v, "item") and getattr(v, "ndim", 1) == 0:
+        return float(v.item())
+    return v
+
+
+def build_result(acc):
+    """Consolidated driver line from the accumulated stage results."""
+    best = max(
+        [acc[k] for k in ("jets_samples_per_sec", "jets_bf16_samples_per_sec",
+                          "jets_fused_mrf_samples_per_sec",
+                          "jets_fused_mrf_bf16_samples_per_sec",
+                          "jets_b64_samples_per_sec",
+                          "jets_b64_bf16_samples_per_sec") if k in acc]
+        or [-1.0]
+    )
+    result = {
+        # 'fused' = the single text->waveform JETS graph (not the Pallas
+        # fused-MRF variant); value = best samples/sec over batch sizes and
+        # serving precisions benched
+        "metric": "jets_fused_text2wav_inference",
+        "value": round(best, 1),
+        "unit": "samples/sec",
+        "vs_baseline": -1.0,
+        # RTF accounting: rtf_* keys divide by the static B*T_MEL frame
+        # budget the graphs compute; *_predicted_audio keys divide by the
+        # duration-predictor's actual output lengths (imported weights for
+        # the jets_imported stage)
+        "audio_accounting": "static_budget_frames",
+        "platform": acc.get("platform", "unknown"),
     }
-    flops = _cost_flops(synth, variables, sids, text, text_lens)
-    if flops:
-        out["flops_per_batch"] = flops
-        out["mfu"] = flops / dt / _peak_flops()
-        out["mfu_bf16"] = flops / dt16 / _peak_flops()
-    return out
-
-
-def _honest_time(fn, *args, n_iters=8):
-    """min sec/call with true host-sync (block_until_ready lies here)."""
-    out = fn(*args)
-    float(jax_sum(out))
-    out = fn(*args)
-    float(jax_sum(out))
-    times = []
-    for _ in range(n_iters):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        float(jax_sum(out))
-        times.append(time.perf_counter() - t0)
-    return min(times)
-
-
-def jax_sum(out):
-    import jax.numpy as jnp
-
-    leaf = out[0] if isinstance(out, tuple) else out
-    return jnp.sum(leaf)
-
-
-def bench_two_stage_tpu(fused_mrf: bool = False):
-    """Config 2: FS2 conformer mel -> HiFi-GAN waveform, one fused graph."""
-    import jax
-    import jax.numpy as jnp
-
-    from viet_tts_tpu.config import build_config, derive_task_config
-    from viet_tts_tpu.models.fastspeech2 import FastSpeech2
-    from viet_tts_tpu.models.hifigan import HiFiGANGenerator
-    from viet_tts_tpu.text import NUM_SYMBOLS
-    from viet_tts_tpu.train.state import init_on_cpu
-
-    conf = derive_task_config(build_config(os.path.join(REPO, "config")), "fastspeech2")
-    stats = {
-        "pitch": {"min": -3.0, "max": 8.0, "mean": 0.0, "std": 1.0},
-        "energy": {"min": -3.0, "max": 8.0, "mean": 0.0, "std": 1.0},
-    }
-    acoustic = FastSpeech2(
-        n_symbols=NUM_SYMBOLS, n_channels=80,
-        hparams=conf["models"]["fastspeech2"], stats=stats, n_speakers=2,
-    )
-    vocoder = HiFiGANGenerator(fused_mrf=fused_mrf)
-
-    rng = np.random.RandomState(0)
-    key = jax.random.PRNGKey(0)
-    text = jnp.asarray(rng.randint(1, NUM_SYMBOLS, (B, T_TEXT)).astype(np.int32))
-    lens = jnp.asarray(np.full(B, T_TEXT, np.int32))
-    feats = jnp.asarray(rng.randn(B, T_MEL, 80).astype(np.float32))
-    sids = jnp.zeros(B, jnp.int32)
-    aids = jnp.zeros(B, jnp.int32)
-    av = init_on_cpu(
-        acoustic.init, {"params": key, "dropout": key, "reparam": key},
-        sids, text, lens, T_MEL, feats=feats, aids=aids,
-        method=acoustic.inference,
-    )
-    vv = init_on_cpu(vocoder.init, key, feats)
-
-    @jax.jit
-    def synth(av, vv, sids, text, lens, feats, aids):
-        mel, mel_lens, _ = acoustic.apply(
-            av, sids, text, lens, T_MEL, feats=feats, aids=aids,
-            method=acoustic.inference,
+    if ("sec_per_batch_reference_cpu_fs2_hifigan" in acc
+            and "sec_per_batch_two_stage" in acc):
+        result["vs_baseline"] = round(
+            acc["sec_per_batch_reference_cpu_fs2_hifigan"]
+            / acc["sec_per_batch_two_stage"], 2
         )
-        return vocoder.apply(vv, mel)[..., 0], mel_lens
-
-    dt = _honest_time(synth, av, vv, sids, text, lens, feats, aids)
-    out = {"sec_per_batch": dt, "rtf": dt / (B * T_MEL * HOP / SR)}
-    flops = _cost_flops(synth, av, vv, sids, text, lens, feats, aids)
-    if flops:
-        out["flops_per_batch"] = flops
-        out["mfu"] = flops / dt / _peak_flops()
-    return out
-
-
-def bench_matcha_tpu(n_timesteps=10):
-    """Config 4: Matcha CFM Euler ODE sampling."""
-    import jax
-    import jax.numpy as jnp
-
-    from viet_tts_tpu.config import build_config, derive_task_config
-    from viet_tts_tpu.models.matcha import MatchaTTS
-    from viet_tts_tpu.text import NUM_SYMBOLS
-    from viet_tts_tpu.train.state import init_on_cpu
-
-    conf = derive_task_config(build_config(os.path.join(REPO, "config")), "matcha")
-    model = MatchaTTS(
-        n_symbols=NUM_SYMBOLS, n_channels=80,
-        hparams=conf["models"]["matcha"],
-        stats={"mel_mean": 0.0, "mel_std": 1.0}, n_speakers=2,
-    )
-    rng = np.random.RandomState(0)
-    key = jax.random.PRNGKey(0)
-    text = jnp.asarray(rng.randint(1, NUM_SYMBOLS, (B, T_TEXT)).astype(np.int32))
-    lens = jnp.asarray(np.full(B, T_TEXT, np.int32))
-    feats = jnp.asarray(rng.randn(B, T_MEL, 80).astype(np.float32))
-    sids = jnp.zeros(B, jnp.int32)
-    aids = jnp.zeros(B, jnp.int32)
-    rngs = {"params": key, "dropout": key, "reparam": key, "noise": key}
-    v = init_on_cpu(
-        model.init, rngs, sids, text, lens, T_MEL, feats=feats, aids=aids,
-        n_timesteps=n_timesteps, method=model.inference,
-    )
-
-    @jax.jit
-    def synth(v, sids, text, lens, feats, aids):
-        return model.apply(
-            v, sids, text, lens, T_MEL, feats=feats, aids=aids,
-            n_timesteps=n_timesteps, method=model.inference,
-            rngs={"noise": jax.random.PRNGKey(0)},
+    if "train_fs2_sec_per_step" in acc and "train_fs2_bf16_sec_per_step" in acc:
+        result["train_fs2_bf16_speedup"] = round(
+            acc["train_fs2_sec_per_step"] / acc["train_fs2_bf16_sec_per_step"], 3
         )
-
-    dt = _honest_time(synth, v, sids, text, lens, feats, aids)
-    return {"sec_per_batch": dt, "rtf": dt / (B * T_MEL * HOP / SR)}
-
-
-def bench_vits2_tpu():
-    """Config 5: VITS2 end-to-end flows + SDP."""
-    import jax
-    import jax.numpy as jnp
-
-    from viet_tts_tpu.config import build_config, derive_task_config
-    from viet_tts_tpu.models.vits2 import VITS2
-    from viet_tts_tpu.text import NUM_SYMBOLS
-    from viet_tts_tpu.train.state import init_on_cpu
-
-    conf = derive_task_config(build_config(os.path.join(REPO, "config")), "vits2")
-    model = VITS2(
-        n_symbols=NUM_SYMBOLS, hparams=conf["models"]["vits2"],
-        n_speakers=2, spec_channels=80,
-    )
-    rng = np.random.RandomState(0)
-    key = jax.random.PRNGKey(0)
-    text = jnp.asarray(rng.randint(1, NUM_SYMBOLS, (B, 2 * T_TEXT + 1)).astype(np.int32))
-    lens = jnp.asarray(np.full(B, 2 * T_TEXT + 1, np.int32))
-    sids = jnp.zeros(B, jnp.int32)
-    v = init_on_cpu(
-        model.init,
-        {"params": key, "dropout": key, "noise": key, "segment": key},
-        sids, text, lens, T_MEL, method=model.inference,
-    )
-
-    @jax.jit
-    def synth(v, sids, text, lens):
-        return model.apply(
-            v, sids, text, lens, T_MEL, method=model.inference,
-            rngs={"noise": jax.random.PRNGKey(0)},
+    if "input_pipeline_sec_per_batch" in acc and "train_fs2_sec_per_step" in acc:
+        result["input_pipeline_frac"] = round(
+            acc["input_pipeline_sec_per_batch"] / acc["train_fs2_sec_per_step"], 4
         )
+    for k, v in sorted(acc.items()):
+        if k == "platform" or k.startswith("_"):
+            continue
+        result[k] = round(v, 6) if isinstance(v, float) else v
+    return result
 
-    dt = _honest_time(synth, v, sids, text, lens)
-    return {"sec_per_batch": dt, "rtf": dt / (B * T_MEL * HOP / SR)}
+
+def orchestrate():
+    import subprocess
+    import threading
+    import queue as queue_mod
+
+    budget = float(os.environ.get("BENCH_BUDGET_S", 3300))
+    t_start = time.monotonic()
+    acc = {}
+
+    def emit():
+        print(json.dumps(build_result(acc)), flush=True)
+
+    emit()  # a valid (if empty) line exists from second zero
+
+    for group, names, timeout_s, kind in PROCESS_GROUPS:
+        elapsed = time.monotonic() - t_start
+        if elapsed > budget - 60:
+            note(f"bench: skipping group {group} (budget: {elapsed:.0f}s elapsed)")
+            continue
+        timeout_s = min(timeout_s, budget - elapsed)
+        env = dict(os.environ)
+        # silence XLA AOT-cache machine-feature E-log spam in children
+        env.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+        if kind == "cpu-jax":
+            env = {
+                k: v for k, v in env.items()
+                if "TPU" not in k.upper() and k not in ("JAX_PLATFORMS", "XLA_FLAGS")
+            }
+            env["JAX_PLATFORMS"] = "cpu"
+            env["BENCH_FORCE_CPU"] = "1"
+        note(f"bench group: {group} (timeout {timeout_s:.0f}s)")
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--stages",
+             ",".join(names)],
+            stdout=subprocess.PIPE, stderr=sys.stderr, text=True, env=env,
+        )
+        q = queue_mod.Queue()
+
+        def reader(stream=proc.stdout):
+            for line in stream:
+                q.put(line)
+            q.put(None)
+
+        threading.Thread(target=reader, daemon=True).start()
+        deadline = time.monotonic() + timeout_s
+        while True:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                note(f"bench group {group} TIMED OUT; killing")
+                proc.kill()
+                break
+            try:
+                line = q.get(timeout=min(remaining, 5.0))
+            except queue_mod.Empty:
+                continue
+            if line is None:
+                break
+            line = line.strip()
+            if not line.startswith("{"):
+                continue
+            try:
+                acc.update(json.loads(line))
+            except ValueError:
+                continue
+            emit()
+        try:
+            proc.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+    emit()  # final consolidated line is the last thing on stdout
 
 
 def main():
-    import sys
-    import traceback
+    import argparse
 
-    def note(msg):
-        print(msg, file=sys.stderr, flush=True)
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stages", default=None,
+                    help="comma-separated stage list (child mode)")
+    args = ap.parse_args()
+    if args.stages is None:
+        orchestrate()
+        return
+    names = [s for s in args.stages.split(",") if s]
+    needs_jax = any(n not in ("cpu_anchor",) for n in names)
+    if needs_jax:
+        if os.environ.get("BENCH_FORCE_CPU"):
+            import jax
 
-    def try_bench(name, fn, *a, **kw):
-        """Run one sub-bench; a failure must never lose the JSON line.
-        One retry absorbs transient remote-compile/RPC flakes."""
-        note(f"bench: {name}")
-        for attempt in (1, 2):
-            try:
-                return fn(*a, **kw)
-            except Exception:
-                note(
-                    f"bench {name} FAILED (attempt {attempt}):\n"
-                    f"{traceback.format_exc(limit=4)}"
-                )
-        return {}
-
-    jets = try_bench("jets", bench_jets_tpu)
-    jets_fused = try_bench("jets (fused mrf)", bench_jets_tpu, fused_mrf=True)
-    jets_b64 = try_bench("jets (B=64 max throughput)", bench_jets_tpu, batch=64)
-    fs2 = try_bench("fs2", bench_tpu)
-    two_stage = try_bench("two_stage", bench_two_stage_tpu)
-    # the fused-vs-layer comparison is carried by the jets pair above; the
-    # two-stage fused variant was measured once (r2: XLA path wins there
-    # too) and is dropped to keep driver bench wall-clock flat
-    matcha = try_bench("matcha", bench_matcha_tpu)
-    vits2 = try_bench("vits2", bench_vits2_tpu)
-    cpu = try_bench("reference torch cpu anchor", bench_reference_cpu)
-    # end-to-end anchor: reference FS2 forward + HiFiGAN on CPU vs our
-    # fastest fused two-stage graph on TPU, same B x T_MEL workload
-    speedup = -1.0
-    cpu_extras = {}
-    if cpu and two_stage:
-        speedup = cpu["sec_per_batch"] / two_stage["sec_per_batch"]
-        cpu_extras = {
-            "sec_per_batch_reference_cpu_fs2_hifigan": round(
-                cpu["sec_per_batch"], 5
-            ),
-        }
-    mcd_extras = {
-        k: round(v, 5)
-        for k, v in try_bench(
-            "mcd vs reference", measure_mcd_vs_reference
-        ).items()
-    }
-    result = {
-        # 'fused' = the single text->waveform JETS graph (not the Pallas
-        # fused-MRF variant); value = best samples/sec over the batch
-        # sizes benched (B=16 and B=64)
-        "metric": "jets_fused_text2wav_inference",
-        "value": round(
-            max(
-                [
-                    r["samples_per_sec"]
-                    for r in (jets, jets_fused, jets_b64)
-                    if r
-                ]
-                or [-1.0]
-            ),
-            1,
-        ),
-        "unit": "samples/sec",
-        "vs_baseline": round(speedup, 2),
-        # RTF accounting note: all RTFs divide by the static B*T_MEL frame
-        # budget the graphs actually compute (random-init duration
-        # predictors make per-utterance predicted lengths meaningless)
-        "audio_accounting": "static_budget_frames",
-        "platform": next(
-            (
-                r["platform"]
-                for r in (jets, jets_fused, jets_b64, fs2)
-                if r.get("platform")
-            ),
-            "unknown",
-        ),
-        **cpu_extras,
-        **mcd_extras,
-    }
-    for key, r, field in (
-        ("rtf_jets", jets, "rtf"),
-        ("rtf_jets_bf16", jets, "rtf_bf16"),
-        ("rtf_jets_fused_mrf", jets_fused, "rtf"),
-        ("rtf_jets_fused_mrf_bf16", jets_fused, "rtf_bf16"),
-        ("rtf_jets_b64", jets_b64, "rtf"),
-        ("rtf_jets_b64_bf16", jets_b64, "rtf_bf16"),
-        ("jets_b64_samples_per_sec", jets_b64, "samples_per_sec"),
-        ("jets_mel_frames_per_sec", jets, "mel_frames_per_sec"),
-        ("fs2_mel_frames_per_sec", fs2, "mel_frames_per_sec"),
-        ("rtf_fs2_mel", fs2, "rtf"),
-        ("rtf_fs2_hifigan_two_stage", two_stage, "rtf"),
-        ("rtf_matcha_ode10", matcha, "rtf"),
-        ("rtf_vits2_e2e", vits2, "rtf"),
-    ):
-        if field in r:
-            result[key] = round(r[field], 6)
-    for name, r in (("jets", jets), ("jets_fused", jets_fused),
-                    ("jets_b64", jets_b64), ("two_stage", two_stage)):
-        if "mfu" in r:
-            result[f"mfu_{name}"] = round(r["mfu"], 4)
-    print(json.dumps(result))
+            jax.config.update("jax_platforms", "cpu")  # sitecustomize guard
+        _enable_compile_cache()
+    run_stages(names)
 
 
 if __name__ == "__main__":
