@@ -176,6 +176,10 @@ def _bench_jets(batch=B, fused_mrf=False, prefix="jets", variables=None,
             sids, text, text_lens, T_MEL,
             method=model.inference,
         )
+    else:
+        # imported numpy trees must land on-device ONCE; host-resident args
+        # re-ship the full 146 MB param tree through the tunnel every call
+        variables = jax.device_put(variables, jax.devices()[0])
 
     @jax.jit
     def synth(variables, sids, text, text_lens):
@@ -210,6 +214,16 @@ def _bench_jets(batch=B, fused_mrf=False, prefix="jets", variables=None,
     if pred_seconds > 0:
         out[f"rtf_{prefix}_predicted_audio"] = dt / pred_seconds
         out[f"{prefix}_predicted_audio_seconds"] = pred_seconds
+    if prefix == "jets":
+        # bf16 serving fidelity: relative waveform deviation vs the fp32
+        # graph on identical inputs (both executables already compiled)
+        wav16, _ = synth(v16, sids, text, text_lens)
+        a = np.asarray(wav, np.float64)
+        b = np.asarray(wav16, np.float64)
+        denom = float(np.sqrt(np.mean(a * a))) or 1.0
+        out["jets_bf16_wav_relerr"] = float(
+            np.sqrt(np.mean((a - b) ** 2)) / denom
+        )
     return out
 
 
@@ -900,13 +914,15 @@ STAGES = {
 
 # (group name, stages, wall-clock timeout sec, kind). Ordered most-valuable
 # first; each group is one subprocess so a hang forfeits only that group.
+# Within a group the cheapest/highest-value stage runs first: a group
+# timeout only forfeits its tail.
 PROCESS_GROUPS = [
-    ("tpu_core", ["jets", "fs2", "two_stage"], 1800, "tpu"),
+    ("tpu_headline", ["jets", "jets_b64", "two_stage"], 1800, "tpu"),
     ("cpu_anchor", ["cpu_anchor"], 600, "cpu-torch"),
-    ("tpu_rest", ["matcha", "vits2"], 900, "tpu"),
     ("tpu_train", ["train_fs2", "train_fs2_bf16", "train_jets_gan"], 1800, "tpu"),
-    ("tpu_variants", ["jets_fused", "jets_imported", "jets_b64"], 1800, "tpu"),
     ("cpu_eval", ["mcd", "mcd_jets", "input_pipeline"], 900, "cpu-jax"),
+    ("tpu_rest", ["fs2", "matcha", "vits2"], 1200, "tpu"),
+    ("tpu_variants", ["jets_imported", "jets_fused"], 1800, "tpu"),
 ]
 
 
