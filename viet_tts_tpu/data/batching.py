@@ -11,7 +11,9 @@ padded with repeated samples and masked by lengths).
 from __future__ import annotations
 
 import math
-from typing import Dict, Iterator, List, Sequence
+import queue
+import threading
+from typing import Callable, Dict, Iterator, List, Sequence
 
 import numpy as np
 
@@ -96,6 +98,76 @@ def make_jets_collate(hop_length: int = 256):
     return collate
 
 
+class _PrefetchIterator:
+    """Background-thread prefetch over a batch generator.
+
+    The reference feeds its train loops from a ``num_workers=0`` torch
+    ``DataLoader`` (`src/trainer/fastspeech2_trainer.py:36-53`), so every
+    host-side collate blocks the device step. Here the producer generator
+    (disk reads + numpy collate) runs in a daemon thread filling a bounded
+    queue, so batch ``i+1`` is assembled while the jitted step for batch
+    ``i`` executes on the TPU. numpy collate releases the GIL for the big
+    copies, so a single thread is enough to hide the pipeline at the
+    batch sizes in play (see ``bench.py`` ``input_pipeline_frac``).
+    """
+
+    _DONE = object()
+
+    def __init__(self, make_gen: Callable[[], Iterator], depth: int):
+        self._q: queue.Queue = queue.Queue(maxsize=depth)
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._produce, args=(make_gen,), daemon=True)
+        self._thread.start()
+
+    def _produce(self, make_gen: Callable[[], Iterator]) -> None:
+        try:
+            for item in make_gen():
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(("item", item), timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if self._stop.is_set():
+                    return
+            self._q.put(("done", None))
+        except BaseException as exc:  # surface producer errors to the consumer
+            if not self._stop.is_set():
+                self._q.put(("error", exc))
+
+    def __iter__(self) -> "_PrefetchIterator":
+        return self
+
+    def __next__(self):
+        kind, payload = self._q.get()
+        if kind == "item":
+            return payload
+        if kind == "error":
+            self.close()
+            raise payload
+        self.close()
+        raise StopIteration
+
+    def close(self) -> None:
+        self._stop.set()
+        # unblock a producer stuck on put()
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+
+    def __del__(self):  # dropped mid-epoch (e.g. max_iter reached)
+        self.close()
+
+
+def prefetched(make_gen: Callable[[], Iterator], depth: int) -> Iterator:
+    """Wrap a generator factory with background prefetch (depth<=0: inline)."""
+    if depth <= 0:
+        return make_gen()
+    return _PrefetchIterator(make_gen, depth)
+
+
 class BucketBatcher:
     """Groups dataset indices into fixed-shape batches.
 
@@ -113,6 +185,7 @@ class BucketBatcher:
         seed: int = 0,
         drop_incomplete: bool = False,
         collate_fn=collate_acoustic,
+        prefetch: int = 2,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -121,6 +194,7 @@ class BucketBatcher:
         self.rng = np.random.RandomState(seed)
         self.drop_incomplete = drop_incomplete
         self.collate_fn = collate_fn
+        self.prefetch = prefetch
         # measure lengths once (items stay on disk)
         self._shapes = []
         for i in range(len(dataset)):
@@ -132,6 +206,9 @@ class BucketBatcher:
         return item["feat"].shape[0]
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        return prefetched(self._generate, self.prefetch)
+
+    def _generate(self) -> Iterator[Dict[str, np.ndarray]]:
         order = self.rng.permutation(len(self.dataset))
         groups: Dict[tuple, List[dict]] = {}
         for idx in order:

@@ -82,13 +82,19 @@ class VocoderSegmentCollate:
 class VocoderBatcher:
     """Shuffled fixed-size batches over the dataset."""
 
-    def __init__(self, dataset, batch_size: int, collate, seed: int = 0):
+    def __init__(self, dataset, batch_size: int, collate, seed: int = 0, prefetch: int = 2):
         self.dataset = dataset
         self.batch_size = batch_size
         self.collate = collate
         self.rng = np.random.RandomState(seed)
+        self.prefetch = prefetch
 
     def __iter__(self):
+        from viet_tts_tpu.data.batching import prefetched
+
+        return prefetched(self._generate, self.prefetch)
+
+    def _generate(self):
         order = self.rng.permutation(len(self.dataset))
         buf = []
         for idx in order:
