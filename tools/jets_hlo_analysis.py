@@ -118,6 +118,17 @@ def bucket_of(op_name: str) -> str:
         ("generator", "vocoder(hifigan)"),
         ("upsample", "vocoder(hifigan)"),
         ("mrf", "vocoder(hifigan)"),
+        ("mas", "alignment(mas)"),
+        ("viterbi", "alignment(mas)"),
+        ("monotonic", "alignment(mas)"),
+        ("forward_sum", "align-loss(ctc)"),
+        ("ctc", "align-loss(ctc)"),
+        ("aligner", "alignment"),
+        ("alignment", "alignment"),
+        ("adamw", "optimizer"),
+        ("adam", "optimizer"),
+        ("clip_by_global", "optimizer"),
+        ("postnet", "postnet"),
         ("encoder_", "text-encoder"),
         ("/encoder", "text-encoder"),
         ("decoder", "mel-decoder"),
@@ -125,11 +136,12 @@ def bucket_of(op_name: str) -> str:
         ("pitch", "variance"),
         ("energy", "variance"),
         ("variance", "variance"),
-        ("alignment", "alignment"),
         ("gst", "gst"),
         ("style", "gst"),
         ("gaussian", "upsampling"),
         ("length_reg", "upsampling"),
+        ("melspectrogram", "mel-loss"),
+        ("stft", "mel-loss"),
     ):
         if key in n:
             return bucket
@@ -142,28 +154,37 @@ _SKIP_KINDS = {
 }
 
 
-def entry_lines(hlo_text: str):
-    """Instruction lines of the ENTRY computation only: fused-computation
-    bodies also appear in the text and would double-count against their
-    fusion call (whose line already inlines all operand shapes)."""
-    out, depth, in_entry = [], 0, False
+def computation_blocks(hlo_text: str):
+    """Split HLO text into {computation_name: [instruction lines]}; the
+    ENTRY computation is stored under the key "ENTRY". Fused-computation
+    bodies stay separate so they never double-count against their fusion
+    call (whose line already inlines all operand shapes)."""
+    blocks, cur, name = {}, None, None
     for line in hlo_text.splitlines():
         s = line.strip()
-        if s.startswith("ENTRY "):
-            in_entry = True
-            depth = 0
-        if in_entry:
-            out.append(s)
-            depth += s.count("{") - s.count("}")
-            if depth <= 0 and len(out) > 1:
-                break
-    return out
+        if cur is None:
+            m = re.match(r"(ENTRY\s+)?%?([\w.\-]+)\s*\(.*->.*\{", s)
+            if m:
+                name = "ENTRY" if m.group(1) else m.group(2)
+                cur = []
+            continue
+        if s.startswith("}"):
+            blocks[name] = cur
+            cur = None
+            continue
+        cur.append(s)
+    return blocks
 
 
-def analyze(hlo_text: str, top_n: int = 15):
+def entry_lines(hlo_text: str):
+    return computation_blocks(hlo_text).get("ENTRY", [])
+
+
+def _roofline_rows(lines):
+    """(rows, per_bucket) roofline estimates for one computation's lines."""
     per_bucket = defaultdict(lambda: [0.0, 0.0, 0.0, 0])  # flops, bytes, t, n
     rows = []
-    for line in entry_lines(hlo_text):
+    for line in lines:
         if not (line.startswith("%") or line.startswith("ROOT ")) or " = " not in line:
             continue
         shapes = parse_shapes(line)
@@ -193,6 +214,13 @@ def analyze(hlo_text: str, top_n: int = 15):
         agg[2] += t
         agg[3] += 1
         rows.append((t, flops, nbytes, kind, op_name[:110]))
+    return rows, per_bucket
+
+
+def analyze(hlo_text: str, top_n: int = 15):
+    blocks = computation_blocks(hlo_text)
+    entry = blocks.get("ENTRY", [])
+    rows, per_bucket = _roofline_rows(entry)
 
     total_t = sum(v[2] for v in per_bucket.values()) or 1.0
     print(f"{'bucket':<20} {'GFLOP':>10} {'MB':>10} {'t_lb(ms)':>10} {'share':>7} {'ops':>6}")
@@ -200,10 +228,38 @@ def analyze(hlo_text: str, top_n: int = 15):
         print(f"{b:<20} {fl/1e9:>10.2f} {by/1e6:>10.1f} {t*1e3:>10.3f} "
               f"{t/total_t:>6.1%} {n:>6}")
     print(f"\nroofline total lower bound: {total_t*1e3:.2f} ms "
-          f"(pure-compute floor, no scheduling/overheads)")
+          f"(pure-compute floor, no scheduling/overheads; while-loop bodies "
+          f"counted once, see scan table)")
     print(f"\ntop {top_n} instructions by roofline time:")
     for t, fl, by, kind, name in sorted(rows, reverse=True)[:top_n]:
         print(f"  {t*1e6:>9.1f}us {kind:<18} {fl/1e9:>8.2f}GF {by/1e6:>8.2f}MB  {name}")
+
+    # sequential scans: a lax.scan compiles to a `while` whose per-iteration
+    # body runs trip-count times back-to-back — the latency-bound regime
+    # that caps the train step (PARITY.md honest notes). Report each body's
+    # per-iteration roofline so body_t x trip_count can be compared to the
+    # big buckets above.
+    whiles = []
+    for line in entry:
+        if " while(" not in line:
+            continue
+        bm = re.search(r"body=%?([\w.\-]+)", line)
+        om = _OPNAME_RE.search(line)
+        if bm:
+            whiles.append((bm.group(1), om.group(1) if om else ""))
+    if whiles:
+        scored = []
+        for body, op_name in whiles:
+            b_rows, b_buckets = _roofline_rows(blocks.get(body, []))
+            t_iter = sum(v[2] for v in b_buckets.values())
+            n_ops = sum(v[3] for v in b_buckets.values())
+            scored.append((t_iter, n_ops, body, op_name))
+        scored.sort(reverse=True)
+        print("\nsequential while/scan bodies (per-iteration lower bound, "
+              "top 10 of %d):" % len(scored))
+        for t_iter, n_ops, body, op_name in scored[:10]:
+            print(f"  {t_iter*1e6:>9.2f}us/iter {n_ops:>4} ops  "
+                  f"body={body[:40]:<42} {op_name[:80]}")
 
 
 def build_and_lower(batch: int = 16, t_text: int = 64, t_mel: int = 512,
@@ -243,10 +299,25 @@ def build_and_lower(batch: int = 16, t_text: int = 64, t_mel: int = 512,
     return compiled
 
 
+def build_and_lower_fs2_train(mixed_precision: bool = False):
+    """Lower the full-config FS2 train step (fwd+bwd+AdamW) via the bench
+    harness helpers — same graph `train_fs2_*` numbers come from."""
+    import jax
+
+    import bench
+    from viet_tts_tpu.train.steps import make_fs2_train_step
+
+    model, criterion, state, batch = bench._fs2_train_setup()
+    step = jax.jit(make_fs2_train_step(model, criterion, mixed_precision))
+    key = jax.random.PRNGKey(0)
+    return step.lower(state, batch, key).compile()
+
+
 def main():
     import argparse
 
     ap = argparse.ArgumentParser()
+    ap.add_argument("--graph", choices=["jets", "fs2_train"], default="jets")
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--top", type=int, default=15)
@@ -263,7 +334,10 @@ def main():
             "jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache")
         )
 
-    compiled = build_and_lower(batch=args.batch, bf16=args.bf16)
+    if args.graph == "fs2_train":
+        compiled = build_and_lower_fs2_train(mixed_precision=args.bf16)
+    else:
+        compiled = build_and_lower(batch=args.batch, bf16=args.bf16)
     hlo = compiled.as_text()
     print(f"# optimized HLO: {len(hlo.splitlines())} lines, "
           f"platform={__import__('jax').devices()[0].platform}\n")
