@@ -58,13 +58,50 @@ def parse_shapes(text: str):
     return out
 
 
-def conv_flops(line: str) -> float:
-    """2 * out_elems * (kernel_spatial * Cin / groups) from inlined shapes.
+def _operand_shapes(line: str, op: str, defs=None):
+    """[output_shape, operand shapes...] for an instruction line. Inside
+    fused computations operand shapes are not inlined, so unresolved %name
+    references fall back to the global ``defs`` name->shape map."""
+    shapes = parse_shapes(line.split(f" {op}(")[0])
+    out_s = shapes[0] if shapes else None
+    m = re.search(rf" {op}\(([^)]*)\)", line)
+    ops = []
+    if m:
+        for tok in m.group(1).split(","):
+            tok = tok.strip()
+            ts = parse_shapes(tok)
+            if ts:
+                ops.append(ts[0])
+            elif defs is not None:
+                name = tok.lstrip("%").split(" ")[0]
+                if name in defs:
+                    ops.append(defs[name])
+    return [out_s] + ops if out_s else []
+
+
+def build_defs(hlo_text: str):
+    """Global %name -> (dtype, dims) map over every instruction/param."""
+    defs = {}
+    for line in hlo_text.splitlines():
+        s = line.strip()
+        m = re.match(r"(?:ROOT\s+)?%?([\w.\-]+)\s+=\s+([a-z]+\d*)\[([\d,]*)\]", s)
+        if m:
+            dims = [int(d) for d in m.group(3).split(",") if d]
+            defs[m.group(1)] = (m.group(2), dims)
+        # computation header params: name: dtype[dims]
+        for pm in re.finditer(r"([\w.\-]+):\s+([a-z]+\d*)\[([\d,]*)\]", s):
+            dims = [int(d) for d in pm.group(3).split(",") if d]
+            defs.setdefault(pm.group(1), (pm.group(2), dims))
+    return defs
+
+
+def conv_flops(line: str, defs=None) -> float:
+    """2 * out_elems * (kernel_spatial * Cin / groups) from shapes.
 
     HLO text: %x = TY[out]{..} convolution(TY[in]{..} %a, TY[k]{..} %b),
     window=..., dim_labels=b0f_0io->b0f ...
     """
-    shapes = parse_shapes(line)
+    shapes = _operand_shapes(line, "convolution", defs)
     if len(shapes) < 3:
         return 0.0
     out_s, in_s, k_s = shapes[0], shapes[1], shapes[2]
@@ -87,12 +124,21 @@ def conv_flops(line: str) -> float:
                 k_spatial *= d
             elif ch == "i":
                 cin = d
+        # base dilation inserts zeros into the lhs: only ~1/prod(lhs_dilate)
+        # of the window taps hit data (the TPU backend lowers batched
+        # einsums/transposed convs this way), so count algorithmic flops
+        dm = re.search(r"lhs_dilate=([x\d]+)", line)
+        if dm:
+            dil = 1
+            for d in dm.group(1).split("x"):
+                dil *= max(int(d), 1)
+            k_spatial = max(k_spatial // dil, 1)
         return 2.0 * out_elems * k_spatial * cin / max(groups, 1) * groups
     return 0.0
 
 
-def dot_flops(line: str) -> float:
-    shapes = parse_shapes(line)
+def dot_flops(line: str, defs=None) -> float:
+    shapes = _operand_shapes(line, "dot", defs)
     if len(shapes) < 3:
         return 0.0
     out_s, lhs_s, rhs_s = shapes[0], shapes[1], shapes[2]
@@ -159,13 +205,14 @@ def computation_blocks(hlo_text: str):
     ENTRY computation is stored under the key "ENTRY". Fused-computation
     bodies stay separate so they never double-count against their fusion
     call (whose line already inlines all operand shapes)."""
-    blocks, cur, name = {}, None, None
+    blocks, headers, cur, name = {}, {}, None, None
     for line in hlo_text.splitlines():
         s = line.strip()
         if cur is None:
             m = re.match(r"(ENTRY\s+)?%?([\w.\-]+)\s*\(.*->.*\{", s)
             if m:
                 name = "ENTRY" if m.group(1) else m.group(2)
+                headers[name] = s
                 cur = []
             continue
         if s.startswith("}"):
@@ -173,15 +220,40 @@ def computation_blocks(hlo_text: str):
             cur = None
             continue
         cur.append(s)
+    blocks["__headers__"] = headers
     return blocks
+
+
+def local_defs(blocks, name, global_defs):
+    """name->shape map for one computation: its header params and its own
+    instruction outputs shadow the global map (HLO param/instruction names
+    repeat across computations, so a purely global lookup can mis-shape
+    fusion-body operands)."""
+    defs = dict(global_defs)
+    lines = [blocks.get("__headers__", {}).get(name, "")] + blocks.get(name, [])
+    for s in lines:
+        for pm in re.finditer(r"%?([\w.\-]+):\s+([a-z]+\d*)\[([\d,]*)\]", s):
+            defs[pm.group(1)] = (
+                pm.group(2), [int(d) for d in pm.group(3).split(",") if d]
+            )
+        m = re.match(r"(?:ROOT\s+)?%?([\w.\-]+)\s+=\s+([a-z]+\d*)\[([\d,]*)\]", s)
+        if m:
+            defs[m.group(1)] = (
+                m.group(2), [int(d) for d in m.group(3).split(",") if d]
+            )
+    return defs
 
 
 def entry_lines(hlo_text: str):
     return computation_blocks(hlo_text).get("ENTRY", [])
 
 
-def _roofline_rows(lines):
-    """(rows, per_bucket) roofline estimates for one computation's lines."""
+def _roofline_rows(lines, blocks=None, defs=None):
+    """(rows, per_bucket) roofline estimates for one computation's lines.
+
+    When ``blocks`` is given, fusion calls are followed into their fused
+    computation to pick up convolution/dot FLOPs hidden in the body (the
+    TPU backend wraps most convs in fusions)."""
     per_bucket = defaultdict(lambda: [0.0, 0.0, 0.0, 0])  # flops, bytes, t, n
     rows = []
     for line in lines:
@@ -192,9 +264,19 @@ def _roofline_rows(lines):
             continue
         flops = 0.0
         if " convolution(" in line:
-            flops = conv_flops(line)
+            flops = conv_flops(line, defs)
         elif " dot(" in line:
-            flops = dot_flops(line)
+            flops = dot_flops(line, defs)
+        elif " fusion(" in line and blocks is not None:
+            cm = re.search(r"calls=%?([\w.\-]+)", line)
+            body = blocks.get(cm.group(1), []) if cm else ()
+            if any((" convolution(" in bl or " dot(" in bl) for bl in body):
+                ldefs = local_defs(blocks, cm.group(1), defs or {})
+                for bl in body:
+                    if " convolution(" in bl:
+                        flops += conv_flops(bl, ldefs)
+                    elif " dot(" in bl:
+                        flops += dot_flops(bl, ldefs)
         # HBM traffic estimate: every operand read + output written once.
         # Fusions make this an upper bound for elementwise chains, but
         # conv/dot operands genuinely stream from HBM.
@@ -220,7 +302,8 @@ def _roofline_rows(lines):
 def analyze(hlo_text: str, top_n: int = 15):
     blocks = computation_blocks(hlo_text)
     entry = blocks.get("ENTRY", [])
-    rows, per_bucket = _roofline_rows(entry)
+    defs = build_defs(hlo_text)
+    rows, per_bucket = _roofline_rows(entry, blocks, defs)
 
     total_t = sum(v[2] for v in per_bucket.values()) or 1.0
     print(f"{'bucket':<20} {'GFLOP':>10} {'MB':>10} {'t_lb(ms)':>10} {'share':>7} {'ops':>6}")
@@ -250,7 +333,7 @@ def analyze(hlo_text: str, top_n: int = 15):
     if whiles:
         scored = []
         for body, op_name in whiles:
-            b_rows, b_buckets = _roofline_rows(blocks.get(body, []))
+            b_rows, b_buckets = _roofline_rows(blocks.get(body, []), blocks, defs)
             t_iter = sum(v[2] for v in b_buckets.values())
             n_ops = sum(v[3] for v in b_buckets.values())
             scored.append((t_iter, n_ops, body, op_name))
