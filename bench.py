@@ -173,7 +173,7 @@ def _platform():
 
 
 def _bench_jets(batch=B, fused_mrf=False, prefix="jets", variables=None,
-                n_speakers=2):
+                n_speakers=2, packed_tail=False):
     """Fused JETS text->waveform single-graph inference (headline config)."""
     import jax
     import jax.numpy as jnp
@@ -186,6 +186,7 @@ def _bench_jets(batch=B, fused_mrf=False, prefix="jets", variables=None,
     conf = _conf("jets")
     hp = dict(conf["models"]["jets"]["generator_params"])
     hp["fused_mrf"] = fused_mrf
+    hp["packed_tail"] = packed_tail
     model = JETS(
         n_symbols=NUM_SYMBOLS, n_channels=80, hparams=hp,
         n_speakers=n_speakers,
@@ -270,6 +271,13 @@ def stage_jets_fused():
 
 def stage_jets_b64():
     return _bench_jets(64, False, "jets_b64")
+
+
+def stage_jets_packed():
+    """MXU-lane-packed tail stages (`ops/packed_conv.py`): the serving
+    default on TPU, measured as its own config at the max-throughput
+    batch."""
+    return _bench_jets(64, False, "jets_packed_b64", packed_tail=True)
 
 
 def stage_jets_imported():
@@ -933,6 +941,7 @@ STAGES = {
     "jets_fused": stage_jets_fused,
     "jets_imported": stage_jets_imported,
     "jets_b64": stage_jets_b64,
+    "jets_packed": stage_jets_packed,
     "cpu_anchor": stage_cpu_anchor,
     "mcd": stage_mcd,
     "mcd_jets": stage_mcd_jets,
@@ -954,7 +963,7 @@ PROCESS_GROUPS = [
     ("cpu_anchor", ["cpu_anchor"], 600, "cpu-torch"),
     ("tpu_train", ["train_fs2", "train_fs2_bf16", "train_jets_gan"], 1800, "tpu"),
     ("cpu_eval", ["mcd", "mcd_jets", "input_pipeline"], 900, "cpu-jax"),
-    ("tpu_rest", ["jets_fused", "fs2", "matcha", "vits2"], 1800, "tpu"),
+    ("tpu_rest", ["jets_packed", "jets_fused", "fs2", "matcha", "vits2"], 1800, "tpu"),
 ]
 
 
@@ -992,7 +1001,9 @@ def build_result(acc):
                           "jets_fused_mrf_samples_per_sec",
                           "jets_fused_mrf_bf16_samples_per_sec",
                           "jets_b64_samples_per_sec",
-                          "jets_b64_bf16_samples_per_sec") if k in acc]
+                          "jets_b64_bf16_samples_per_sec",
+                          "jets_packed_b64_samples_per_sec",
+                          "jets_packed_b64_bf16_samples_per_sec") if k in acc]
         or [-1.0]
     )
     result = {

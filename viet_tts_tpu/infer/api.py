@@ -167,6 +167,17 @@ def _build_acoustic(conf, model_key, stats, n_speakers, n_accents):
     )
 
 
+def _resolve_packed(packed_vocoder):
+    """None = auto: lane packing pays on the TPU MXU (measured +18% e2e,
+    PERF_NOTES.md) but multiplies MACs ~5x, which on CPU is a straight
+    loss — so default on only when serving on TPU."""
+    if packed_vocoder is not None:
+        return bool(packed_vocoder)
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
 class TwoStageTTS(_TTSBase):
     """Acoustic model -> mel -> HiFi-GAN vocoder.
 
@@ -183,6 +194,7 @@ class TwoStageTTS(_TTSBase):
         half: bool = False,
         data_parallel: bool = False,
         fused_vocoder: bool = False,
+        packed_vocoder: bool | None = None,
     ):
         import jax
 
@@ -227,6 +239,7 @@ class TwoStageTTS(_TTSBase):
                 map(tuple, hifi.get("resblock_dilation_sizes", ((1, 3, 5),) * 3))
             ),
             fused_mrf=fused_vocoder,
+            packed_tail=_resolve_packed(packed_vocoder),
         )
 
         self._load_weights(acoustic_ckpt, vocoder_ckpt)
@@ -371,7 +384,8 @@ class OneStageTTS(_TTSBase):
 
     def __init__(self, checkpoint_path: str, model_type: str = "JETS",
                  max_mel_frames: int = 1008, half: bool = False,
-                 data_parallel: bool = False, fused_vocoder: bool = False):
+                 data_parallel: bool = False, fused_vocoder: bool = False,
+                 packed_vocoder: bool | None = None):
         import jax
 
         self.model_type = model_type.lower()
@@ -399,6 +413,7 @@ class OneStageTTS(_TTSBase):
             jets_hp = dict(conf["models"]["jets"]["generator_params"])
             if fused_vocoder:
                 jets_hp["fused_mrf"] = True
+            jets_hp["packed_tail"] = _resolve_packed(packed_vocoder)
             self.model = JETS(
                 n_symbols=NUM_SYMBOLS,
                 n_channels=conf["audio"]["mel"]["channels"],
@@ -422,6 +437,12 @@ class OneStageTTS(_TTSBase):
         else:  # joint text2wav
             from viet_tts_tpu.models.text2wav import Text2Wav
 
+            if _resolve_packed(packed_vocoder):
+                conf = dict(conf)
+                conf["models"] = dict(conf["models"])
+                conf["models"]["hifigan"] = dict(
+                    conf["models"].get("hifigan", {}), packed_tail=True
+                )
             self.model = Text2Wav(
                 n_symbols=NUM_SYMBOLS,
                 n_channels=conf["audio"]["mel"]["channels"],

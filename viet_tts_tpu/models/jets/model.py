@@ -164,6 +164,9 @@ class JETS(nn.Module):
             # inference-only Pallas fused-MRF decode (no VJP — keep off for
             # training; the serving API flips it via hparams)
             fused_mrf=bool(hp.get("fused_mrf", False)),
+            # inference-only MXU-lane packing of the small-channel tail
+            # stages (`ops/packed_conv.py`)
+            packed_tail=bool(hp.get("packed_tail", False)),
         )
         self.upsample_factor = self.generator.upsample_factor
 

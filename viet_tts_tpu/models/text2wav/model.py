@@ -58,6 +58,9 @@ class Text2Wav(nn.Module):
             resblock_dilations=tuple(
                 map(tuple, hifi.get("resblock_dilation_sizes", ((1, 3, 5),) * 3))
             ),
+            # inference-only MXU-lane packing (`ops/packed_conv.py`); the
+            # serving API injects this key, training configs leave it unset
+            packed_tail=bool(hifi.get("packed_tail", False)),
         )
         self.segment_size = int(hifi.get("segment_size", 64))
         self.upsample_factor = self.mel2wav.upsample_factor
