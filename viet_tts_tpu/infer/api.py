@@ -113,11 +113,23 @@ class _TTSBase:
 
     def synthesize_long(self, text: str, max_words: int = 40, **kwargs):
         """Long-form synthesis: sentence-split, batch, concatenate."""
-        sentences = split_sentences(text, max_words=max_words)
-        if not sentences:
+        chunks = list(self.stream_long(text, max_words=max_words, **kwargs))
+        if not chunks:
             return np.zeros(0, np.float32)
-        waves = self(sentences, **kwargs)
-        return np.concatenate(waves)
+        return np.concatenate(chunks)
+
+    def stream_long(self, text: str, max_words: int = 40,
+                    batch_sentences: int = 8, **kwargs):
+        """Streaming long-form synthesis: yields waveform chunks as each
+        sentence batch finishes, so playback can start after the first
+        batch instead of after the whole text. Sentences are grouped
+        ``batch_sentences`` at a time (one device dispatch per group; the
+        text-bucket graphs are shared across groups)."""
+        sentences = split_sentences(text, max_words=max_words)
+        for i in range(0, len(sentences), max(batch_sentences, 1)):
+            group = sentences[i : i + batch_sentences]
+            for wav in self(group, **kwargs):
+                yield np.asarray(wav)
 
     def encode_texts(
         self, texts: Sequence[str]
