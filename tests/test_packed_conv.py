@@ -51,6 +51,26 @@ def test_pack_roundtrip():
     )
 
 
+def test_packed_vits_generator_exact():
+    """VitsGenerator(packed_tail=True) matches the layer path under the
+    same params (small shapes, CPU)."""
+    from viet_tts_tpu.models.vits2.layers import VitsGenerator
+
+    rng = np.random.RandomState(0)
+    z = jnp.asarray(rng.randn(2, 12, 48).astype(np.float32))
+
+    base = VitsGenerator(initial_channel=48, upsample_initial_channel=128)
+    packed = VitsGenerator(
+        initial_channel=48, upsample_initial_channel=128, packed_tail=True
+    )
+    variables = base.init(jax.random.PRNGKey(0), z)
+    y0 = base.apply(variables, z)
+    y1 = packed.apply(variables, z)
+    assert y0.shape == y1.shape
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_packed_generator_stage_exact():
     """HiFiGANGenerator(packed_tail=True) matches the layer path bit-for-
     tolerance under the same params (small shapes, CPU)."""

@@ -441,9 +441,11 @@ class OneStageTTS(_TTSBase):
                 )
             from viet_tts_tpu.models.vits2 import VITS2
 
+            vits_hp = dict(conf["models"]["vits2"])
+            vits_hp["packed_tail"] = _resolve_packed(packed_vocoder)
             self.model = VITS2(
                 n_symbols=NUM_SYMBOLS,
-                hparams=conf["models"]["vits2"],
+                hparams=vits_hp,
                 n_speakers=n_spk,
             )
         else:  # joint text2wav

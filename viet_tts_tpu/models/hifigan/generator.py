@@ -19,6 +19,19 @@ import jax.numpy as jnp
 _INIT = nn.initializers.normal(0.01)  # official HiFi-GAN init
 
 
+def effective_wn_kernel(p, use_weight_norm: bool = True) -> jnp.ndarray:
+    """Effective conv kernel from a WNConv1d param subtree (mirrors flax
+    nn.WeightNorm: scale * v / sqrt(||v||^2 + eps))."""
+    kernel = p["conv"]["kernel"]
+    if use_weight_norm:
+        scale = p["wn"]["conv/kernel/scale"]
+        norm = jax.lax.rsqrt(
+            (kernel * kernel).sum(axis=(0, 1), keepdims=True) + 1e-12
+        )
+        kernel = kernel * norm * scale[None, None, :]
+    return kernel
+
+
 class WNConv1d(nn.Module):
     """Weight-normalised 1-D conv: w = g * v/||v|| per output channel."""
 
@@ -157,16 +170,7 @@ class HiFiGANGenerator(nn.Module):
     packed_tail: bool = False
 
     def _effective_kernel(self, p):
-        """Effective conv kernel from a WNConv1d param subtree (mirrors
-        flax nn.WeightNorm: scale * v / sqrt(||v||^2 + eps))."""
-        kernel = p["conv"]["kernel"]
-        if self.use_weight_norm:
-            scale = p["wn"]["conv/kernel/scale"]
-            norm = jax.lax.rsqrt(
-                (kernel * kernel).sum(axis=(0, 1), keepdims=True) + 1e-12
-            )
-            kernel = kernel * norm * scale[None, None, :]
-        return kernel
+        return effective_wn_kernel(p, self.use_weight_norm)
 
     def _fused_stage_fits(self, ch: int) -> bool:
         """The kernel keeps the whole stage's weights VMEM-resident

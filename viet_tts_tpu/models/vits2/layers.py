@@ -113,6 +113,10 @@ class VitsGenerator(nn.Module):
     upsample_initial_channel: int = 512
     upsample_kernel_sizes: Sequence[int] = (16, 16, 4, 4)
     gin_channels: int = 0
+    # Inference-only fast path: run small-channel tail stages in
+    # time->channel packed layout to fill the 128-wide MXU lanes
+    # (`ops/packed_conv.py`; same transform as HiFiGANGenerator.packed_tail)
+    packed_tail: bool = False
 
     @property
     def upsample_factor(self) -> int:
@@ -120,6 +124,44 @@ class VitsGenerator(nn.Module):
         for u in self.upsample_rates:
             f *= u
         return f
+
+    def _packed_trio(self, h, i: int, ch: int, r: int):
+        """Stage i's residual trio on the (B, T/r, r*ch) packed layout,
+        reading the already-created res_{i}_{j} parameters."""
+        from viet_tts_tpu.models.hifigan.generator import effective_wn_kernel
+        from viet_tts_tpu.ops.packed_conv import (
+            pack_time,
+            packed_dilated_conv,
+            unpack_time,
+        )
+
+        hp = pack_time(h, r)
+        acc = 0.0
+        for j, (rk, rd) in enumerate(
+            zip(self.resblock_kernel_sizes, self.resblock_dilation_sizes)
+        ):
+            p = self.get_variable("params", f"res_{i}_{j}")
+            xb = hp
+            for di, d in enumerate(rd):
+                xt = nn.leaky_relu(xb, LRELU_SLOPE)
+                if self.resblock == "1":
+                    xt = packed_dilated_conv(
+                        xt, effective_wn_kernel(p[f"conv1_{di}"]), d, r,
+                        bias=p[f"conv1_{di}"]["conv"]["bias"],
+                    )
+                    xt = nn.leaky_relu(xt, LRELU_SLOPE)
+                    xt = packed_dilated_conv(
+                        xt, effective_wn_kernel(p[f"conv2_{di}"]), 1, r,
+                        bias=p[f"conv2_{di}"]["conv"]["bias"],
+                    )
+                else:
+                    xt = packed_dilated_conv(
+                        xt, effective_wn_kernel(p[f"conv_{di}"]), d, r,
+                        bias=p[f"conv_{di}"]["conv"]["bias"],
+                    )
+                xb = xb + xt
+            acc = acc + xb
+        return unpack_time(acc / len(self.resblock_kernel_sizes), r)
 
     @nn.compact
     def __call__(self, x, g=None):
@@ -139,12 +181,21 @@ class VitsGenerator(nn.Module):
             h = WNConvTranspose1d(
                 ch, k, stride=u, padding=(k - u) // 2, name=f"up_{i}"
             )(h)
-            acc = 0.0
-            for j, (rk, rd) in enumerate(
-                zip(self.resblock_kernel_sizes, self.resblock_dilation_sizes)
+            pack_r = 128 // ch if ch < 128 else 1
+            if (
+                self.packed_tail
+                and pack_r > 1
+                and not self.is_initializing()
+                and h.shape[1] % pack_r == 0
             ):
-                acc = acc + Res(ch, rk, tuple(rd), name=f"res_{i}_{j}")(h)
-            h = acc / n_kernels
+                h = self._packed_trio(h, i, ch, pack_r)
+            else:
+                acc = 0.0
+                for j, (rk, rd) in enumerate(
+                    zip(self.resblock_kernel_sizes, self.resblock_dilation_sizes)
+                ):
+                    acc = acc + Res(ch, rk, tuple(rd), name=f"res_{i}_{j}")(h)
+                h = acc / n_kernels
         h = nn.leaky_relu(h, 0.01)
         h = nn.Conv(1, (7,), padding="SAME", use_bias=False, name="conv_post")(h)
         return jnp.tanh(h)

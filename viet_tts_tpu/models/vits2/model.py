@@ -129,6 +129,9 @@ class VITS2(nn.Module):
             upsample_initial_channel=hp["upsample_initial_channel"],
             upsample_kernel_sizes=tuple(hp["upsample_kernel_sizes"]),
             gin_channels=gin,
+            # inference-only MXU-lane packing (`ops/packed_conv.py`); the
+            # serving API injects this key, training configs leave it unset
+            packed_tail=bool(hp.get("packed_tail", False)),
         )
         self.flow = ResidualCouplingTransformersBlock(
             channels=inter,
