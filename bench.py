@@ -173,7 +173,7 @@ def _platform():
 
 
 def _bench_jets(batch=B, fused_mrf=False, prefix="jets", variables=None,
-                n_speakers=2, packed_tail=False):
+                n_speakers=2, packed_tail=True, with_bf16=True):
     """Fused JETS text->waveform single-graph inference (headline config)."""
     import jax
     import jax.numpy as jnp
@@ -216,22 +216,27 @@ def _bench_jets(batch=B, fused_mrf=False, prefix="jets", variables=None,
         )
 
     dt = _honest_time(synth, variables, sids, text, text_lens)
-    v16 = cast_floating(variables, jnp.bfloat16)
-    dt16 = _honest_time(synth, v16, sids, text, text_lens)
-
     samples = batch * T_MEL * HOP  # static budget (audio_accounting note)
     audio_seconds = samples / SR
     out = {
         f"rtf_{prefix}": dt / audio_seconds,
-        f"rtf_{prefix}_bf16": dt16 / audio_seconds,
         f"{prefix}_samples_per_sec": samples / dt,
-        f"{prefix}_bf16_samples_per_sec": samples / dt16,
+        # the serving default on TPU since r3: small-channel vocoder tail
+        # stages run time->channel packed to fill the MXU lanes
+        # (`ops/packed_conv.py`, PERF_NOTES.md)
+        "vocoder_layout": "mxu_packed" if packed_tail else "plain",
         "platform": _platform(),
     }
+    if with_bf16:
+        v16 = cast_floating(variables, jnp.bfloat16)
+        dt16 = _honest_time(synth, v16, sids, text, text_lens)
+        out[f"rtf_{prefix}_bf16"] = dt16 / audio_seconds
+        out[f"{prefix}_bf16_samples_per_sec"] = samples / dt16
     flops = _cost_flops(synth, variables, sids, text, text_lens)
     if flops:
         out[f"mfu_{prefix}"] = flops / dt / _peak_flops()
-        out[f"mfu_{prefix}_bf16"] = flops / dt16 / _peak_flops()
+        if with_bf16:
+            out[f"mfu_{prefix}_bf16"] = flops / dt16 / _peak_flops()
     if prefix == "jets":
         out["jets_mel_frames_per_sec"] = samples / HOP / dt
         out["sec_per_batch_jets"] = dt
@@ -242,7 +247,7 @@ def _bench_jets(batch=B, fused_mrf=False, prefix="jets", variables=None,
     if pred_seconds > 0:
         out[f"rtf_{prefix}_predicted_audio"] = dt / pred_seconds
         out[f"{prefix}_predicted_audio_seconds"] = pred_seconds
-    if prefix == "jets":
+    if prefix == "jets" and with_bf16:
         # bf16 serving fidelity: relative waveform deviation vs the fp32
         # graph on identical inputs (both executables already compiled)
         wav16, _ = synth(v16, sids, text, text_lens)
@@ -259,9 +264,19 @@ def stage_jets():
     return _bench_jets(B, False, "jets")
 
 
+def stage_jets_unpacked():
+    """A/B reference: the pre-r3 plain-layout graph (packed layout is the
+    serving default benched by the headline stages)."""
+    return _bench_jets(B, False, "jets_unpacked", packed_tail=False,
+                       with_bf16=False)
+
+
 def stage_jets_fused():
-    # mfu key name kept from r01/r02 ("mfu_jets_fused")
-    out = _bench_jets(B, True, "jets_fused_mrf")
+    # mfu key name kept from r01/r02 ("mfu_jets_fused"); fp32-only and
+    # plain layout (the Pallas kernel replaces the whole stage), captured
+    # as the documented negative result
+    out = _bench_jets(B, True, "jets_fused_mrf", packed_tail=False,
+                      with_bf16=False)
     for old, new in (("mfu_jets_fused_mrf", "mfu_jets_fused"),
                      ("mfu_jets_fused_mrf_bf16", "mfu_jets_fused_bf16")):
         if old in out:
@@ -273,11 +288,7 @@ def stage_jets_b64():
     return _bench_jets(64, False, "jets_b64")
 
 
-def stage_jets_packed():
-    """MXU-lane-packed tail stages (`ops/packed_conv.py`): the serving
-    default on TPU, measured as its own config at the max-throughput
-    batch."""
-    return _bench_jets(64, False, "jets_packed_b64", packed_tail=True)
+
 
 
 def stage_jets_imported():
@@ -365,7 +376,8 @@ def stage_two_stage():
         n_symbols=NUM_SYMBOLS, n_channels=80,
         hparams=conf["models"]["fastspeech2"], stats=REF_STATS, n_speakers=2,
     )
-    vocoder = HiFiGANGenerator()
+    # packed tail = the TPU serving default (PERF_NOTES.md)
+    vocoder = HiFiGANGenerator(packed_tail=True)
 
     rng = np.random.RandomState(0)
     key = jax.random.PRNGKey(0)
@@ -941,7 +953,7 @@ STAGES = {
     "jets_fused": stage_jets_fused,
     "jets_imported": stage_jets_imported,
     "jets_b64": stage_jets_b64,
-    "jets_packed": stage_jets_packed,
+    "jets_unpacked": stage_jets_unpacked,
     "cpu_anchor": stage_cpu_anchor,
     "mcd": stage_mcd,
     "mcd_jets": stage_mcd_jets,
@@ -961,9 +973,12 @@ PROCESS_GROUPS = [
     # same-graph stages belong in the same child.
     ("tpu_headline", ["jets", "two_stage", "jets_b64", "jets_imported"], 1800, "tpu"),
     ("cpu_anchor", ["cpu_anchor"], 600, "cpu-torch"),
-    ("tpu_train", ["train_fs2", "train_fs2_bf16", "train_jets_gan"], 1800, "tpu"),
+    # cheap when warm (~30s) and carries the mcd_* keys -> before the big
+    # TPU groups so a tight driver timeout still captures them
     ("cpu_eval", ["mcd", "mcd_jets", "input_pipeline"], 900, "cpu-jax"),
-    ("tpu_rest", ["jets_packed", "jets_fused", "fs2", "matcha", "vits2"], 1800, "tpu"),
+    ("tpu_core2", ["jets_fused", "train_fs2", "train_fs2_bf16",
+                   "train_jets_gan"], 1800, "tpu"),
+    ("tpu_rest", ["fs2", "matcha", "vits2", "jets_unpacked"], 1500, "tpu"),
 ]
 
 
@@ -1001,9 +1016,7 @@ def build_result(acc):
                           "jets_fused_mrf_samples_per_sec",
                           "jets_fused_mrf_bf16_samples_per_sec",
                           "jets_b64_samples_per_sec",
-                          "jets_b64_bf16_samples_per_sec",
-                          "jets_packed_b64_samples_per_sec",
-                          "jets_packed_b64_bf16_samples_per_sec") if k in acc]
+                          "jets_b64_bf16_samples_per_sec") if k in acc]
         or [-1.0]
     )
     result = {
