@@ -376,8 +376,10 @@ def stage_two_stage():
         n_symbols=NUM_SYMBOLS, n_channels=80,
         hparams=conf["models"]["fastspeech2"], stats=REF_STATS, n_speakers=2,
     )
-    # packed tail = the TPU serving default (PERF_NOTES.md)
-    vocoder = HiFiGANGenerator(packed_tail=True)
+    # plain tail: packing regresses the fused mel->HiFiGAN graph 3x
+    # (0.159 -> 0.452 s/batch, bench r3d vs r3e) even though it wins on
+    # the one-stage decoders; matches infer.api's per-pipeline default
+    vocoder = HiFiGANGenerator(packed_tail=False)
 
     rng = np.random.RandomState(0)
     key = jax.random.PRNGKey(0)

@@ -179,12 +179,21 @@ def _build_acoustic(conf, model_key, stats, n_speakers, n_accents):
     )
 
 
-def _resolve_packed(packed_vocoder):
-    """None = auto: lane packing pays on the TPU MXU (measured +18% e2e,
-    PERF_NOTES.md) but multiplies MACs ~5x, which on CPU is a straight
-    loss — so default on only when serving on TPU."""
+def _resolve_packed(packed_vocoder, fused_mel_graph=False):
+    """None = auto, decided from A/B measurements (PERF_NOTES.md).
+
+    Lane packing pays on the TPU MXU for the one-stage decoders — JETS
+    +18% fp32 / +15% bf16, VITS2 likewise — but it multiplies MACs ~5x,
+    so it is a straight loss on CPU, and measured 3x SLOWER inside the
+    fused mel->HiFiGAN graphs (two-stage serving / Text2Wav: 0.159 ->
+    0.452 s/batch at B=8 on the real chip, bench r3d vs r3e), where XLA
+    already keeps the standalone vocoder tail fused. Auto therefore
+    enables packing only on TPU and only outside fused mel graphs;
+    passing an explicit bool always wins."""
     if packed_vocoder is not None:
         return bool(packed_vocoder)
+    if fused_mel_graph:
+        return False
     import jax
 
     return jax.default_backend() == "tpu"
@@ -251,7 +260,7 @@ class TwoStageTTS(_TTSBase):
                 map(tuple, hifi.get("resblock_dilation_sizes", ((1, 3, 5),) * 3))
             ),
             fused_mrf=fused_vocoder,
-            packed_tail=_resolve_packed(packed_vocoder),
+            packed_tail=_resolve_packed(packed_vocoder, fused_mel_graph=True),
         )
 
         self._load_weights(acoustic_ckpt, vocoder_ckpt)
@@ -451,7 +460,7 @@ class OneStageTTS(_TTSBase):
         else:  # joint text2wav
             from viet_tts_tpu.models.text2wav import Text2Wav
 
-            if _resolve_packed(packed_vocoder):
+            if _resolve_packed(packed_vocoder, fused_mel_graph=True):
                 conf = dict(conf)
                 conf["models"] = dict(conf["models"])
                 conf["models"]["hifigan"] = dict(
