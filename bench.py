@@ -496,7 +496,7 @@ def stage_vits2():
 # ---------------------------------------------------------------------------
 
 
-def _fs2_train_setup():
+def _fs2_train_setup(remat=False):
     import jax
     import jax.numpy as jnp
 
@@ -505,9 +505,12 @@ def _fs2_train_setup():
     from viet_tts_tpu.train.state import TrainState, adamw_with_clip, init_on_cpu
 
     conf = _conf("fastspeech2")
+    hp = dict(conf["models"]["fastspeech2"])
+    if remat:
+        hp["remat"] = True
     model = FastSpeech2(
         n_symbols=NUM_SYMBOLS, n_channels=80,
-        hparams=conf["models"]["fastspeech2"], stats=REF_STATS, n_speakers=2,
+        hparams=hp, stats=REF_STATS, n_speakers=2,
     )
     rng = np.random.RandomState(0)
     Bt, Tt, Tm = TRAIN_B, T_TEXT, T_MEL
@@ -544,12 +547,12 @@ def _fs2_train_setup():
     return model, criterion, state, batch
 
 
-def _bench_fs2_train(mixed_precision):
+def _bench_fs2_train(mixed_precision, remat=False):
     import jax
 
     from viet_tts_tpu.train.steps import make_fs2_train_step
 
-    model, criterion, state, batch = _fs2_train_setup()
+    model, criterion, state, batch = _fs2_train_setup(remat=remat)
     step = jax.jit(make_fs2_train_step(model, criterion, mixed_precision))
     key = jax.random.PRNGKey(0)
 
@@ -559,6 +562,8 @@ def _bench_fs2_train(mixed_precision):
 
     dt = _honest_time(run, state, batch, key)
     tag = "train_fs2_bf16" if mixed_precision else "train_fs2"
+    if remat:
+        tag += "_remat"
     out = {
         f"{tag}_steps_per_sec": 1.0 / dt,
         f"{tag}_sec_per_step": dt,
@@ -577,6 +582,19 @@ def stage_train_fs2():
 def stage_train_fs2_bf16():
     """Same step under bf16 mixed precision (fp32 master params)."""
     return _bench_fs2_train(True)
+
+
+def stage_train_fs2_remat():
+    """fp32 step with per-block gradient remat on both conformer stacks
+    (trades recompute FLOPs for the (B,h,T,T) attention bytes the backward
+    pass otherwise reads back from HBM — PERF_NOTES.md §2)."""
+    return _bench_fs2_train(False, remat=True)
+
+
+def stage_train_fs2_bf16_remat():
+    """bf16 mixed-precision step + per-block remat: the combination PERF
+    NOTES §2 predicts should finally make bf16 pay off for training."""
+    return _bench_fs2_train(True, remat=True)
 
 
 def stage_train_jets_gan():
@@ -951,6 +969,8 @@ STAGES = {
     "vits2": stage_vits2,
     "train_fs2": stage_train_fs2,
     "train_fs2_bf16": stage_train_fs2_bf16,
+    "train_fs2_remat": stage_train_fs2_remat,
+    "train_fs2_bf16_remat": stage_train_fs2_bf16_remat,
     "train_jets_gan": stage_train_jets_gan,
     "jets_fused": stage_jets_fused,
     "jets_imported": stage_jets_imported,
@@ -973,14 +993,23 @@ PROCESS_GROUPS = [
     # executable (in-process jit cache): ~30s vs ~300s in a fresh child —
     # remote executable loads dominate stage time on the axon runtime, so
     # same-graph stages belong in the same child.
-    ("tpu_headline", ["jets", "two_stage", "jets_b64", "jets_imported"], 1800, "tpu"),
+    ("tpu_headline", ["jets", "two_stage", "jets_imported"], 1800, "tpu"),
     ("cpu_anchor", ["cpu_anchor"], 600, "cpu-torch"),
     # cheap when warm (~30s) and carries the mcd_* keys -> before the big
     # TPU groups so a tight driver timeout still captures them
     ("cpu_eval", ["mcd", "mcd_jets", "input_pipeline"], 900, "cpu-jax"),
+    # jets_b64 compiles two fresh B=64 executables (fp32 + bf16): the most
+    # compile-expensive stage in the suite. It gets its OWN group so a slow
+    # remote compile can only forfeit itself (r3e: it timed out the whole
+    # headline group twice), and runs after the cheap CPU groups.
+    ("tpu_b64", ["jets_b64"], 1500, "tpu"),
     ("tpu_core2", ["jets_fused", "train_fs2", "train_fs2_bf16",
                    "train_jets_gan"], 1800, "tpu"),
     ("tpu_rest", ["fs2", "matcha", "vits2", "jets_unpacked"], 1500, "tpu"),
+    # remat A/B rides last: two fresh train-step compiles that only refine
+    # the training story (train_fs2/_bf16 above already carry the headline
+    # train numbers) — a timeout here loses nothing upstream.
+    ("tpu_train_remat", ["train_fs2_remat", "train_fs2_bf16_remat"], 1500, "tpu"),
 ]
 
 
@@ -1049,6 +1078,16 @@ def build_result(acc):
     if "input_pipeline_sec_per_batch" in acc and "train_fs2_sec_per_step" in acc:
         result["input_pipeline_frac"] = round(
             acc["input_pipeline_sec_per_batch"] / acc["train_fs2_sec_per_step"], 4
+        )
+    if "train_fs2_sec_per_step" in acc and "train_fs2_remat_sec_per_step" in acc:
+        result["train_fs2_remat_speedup"] = round(
+            acc["train_fs2_sec_per_step"] / acc["train_fs2_remat_sec_per_step"], 3
+        )
+    if ("train_fs2_sec_per_step" in acc
+            and "train_fs2_bf16_remat_sec_per_step" in acc):
+        result["train_fs2_bf16_remat_speedup"] = round(
+            acc["train_fs2_sec_per_step"]
+            / acc["train_fs2_bf16_remat_sec_per_step"], 3
         )
     for k, v in sorted(acc.items()):
         if k == "platform" or k.startswith("_"):

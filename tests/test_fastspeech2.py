@@ -184,6 +184,55 @@ def test_loss_and_grads_unsupervised():
     assert np.isfinite(gnorm) and gnorm > 0
 
 
+@pytest.mark.parametrize("block", ["transformer", "conformer"])
+def test_remat_grads_match(block):
+    """hparams["remat"]=True must change neither the param tree nor the
+    gradients — it only trades backward-pass memory for recompute
+    (nn/conformer.py:_block_cls, nn/transformer.py:_block_cls)."""
+    batch = make_batch()
+    key = jax.random.PRNGKey(0)
+
+    def grads_for(remat):
+        hp = tiny_hparams(block, learn_alignment=True)
+        if remat:
+            hp["remat"] = True
+        model = FastSpeech2(
+            n_symbols=131, n_channels=10, hparams=hp, stats=STATS, n_speakers=4
+        )
+        variables = model.init(
+            {"params": key, "dropout": key, "reparam": key},
+            **batch, step=jnp.asarray(0), train=True,
+        )
+        crit = FastSpeech2Loss(LOSS_CONF)
+
+        def loss_fn(params):
+            (y_pred, y_extra), _ = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                **batch, step=jnp.asarray(100), train=True,
+                rngs={"dropout": key, "reparam": key},
+                mutable=["batch_stats"],
+            )
+            targets = (batch["feats"], None, None, *y_extra)
+            return total_loss(crit(y_pred, targets, step=jnp.asarray(100)))
+
+        return jax.value_and_grad(loss_fn)(variables["params"])
+
+    loss0, g0 = grads_for(False)
+    loss1, g1 = grads_for(True)
+    assert float(loss0) == pytest.approx(float(loss1), rel=1e-6)
+    flat0 = jax.tree_util.tree_leaves_with_path(g0)
+    flat1 = {tuple(p): g for p, g in jax.tree_util.tree_leaves_with_path(g1)}
+    assert len(flat0) == len(flat1)
+    # remat recomputes the forward inside the backward sweep, so XLA fuses/
+    # reassociates differently: grads agree to float32 rounding (~1e-7
+    # relative, measured), not bit-for-bit. Bound the diff per leaf against
+    # that leaf's own scale.
+    for path, g in flat0:
+        a, b = np.asarray(g), np.asarray(flat1[tuple(path)])
+        scale = max(np.abs(a).max(), 1e-8)
+        assert np.abs(a - b).max() <= 1e-4 * scale + 1e-7, jax.tree_util.keystr(path)
+
+
 def test_supervised_durations():
     hp = tiny_hparams("transformer", learn_alignment=False, use_cvae=False)
     batch = make_batch(supervised=True)

@@ -272,6 +272,11 @@ class FastSpeech2(nn.Module):
         common = dict(
             d_model=hp["encoder_hidden"],
             max_seq_len=hp["max_seq_len"],
+            # per-block gradient remat: recompute each encoder/decoder block
+            # in the backward sweep instead of storing its fp32 activations
+            # (the (B, h, T, T) attention tensors dominate train-step HBM
+            # traffic — PERF_NOTES.md §2). Inference graphs are unaffected.
+            remat=bool(hp.get("remat", False)),
         )
         if block == "transformer":
             self.encoder = TransformerEncoder(

@@ -187,6 +187,22 @@ class ConformerBlock(nn.Module):
         return x
 
 
+def _block_cls(remat: bool):
+    """Optionally wrap the block in per-layer gradient rematerialisation.
+
+    Saves only each block's inputs on the forward pass and recomputes the
+    block inside the backward sweep. The FS2 train step is HBM-bound by the
+    fp32 (B, h, T, T) attention-score tensors autodiff otherwise stores
+    (PERF_NOTES.md §2), so trading recompute FLOPs for those bytes is the
+    right direction on TPU. `train` (arg 4; the module instance is arg 0)
+    is static so `deterministic=not train` stays a Python bool under the
+    checkpoint trace. Gradients are bit-identical either way.
+    """
+    if remat:
+        return nn.remat(ConformerBlock, static_argnums=(4,))
+    return ConformerBlock
+
+
 class ConformerEncoder(nn.Module):
     """Phoneme embedding + absolute positions added + conformer stack.
 
@@ -204,6 +220,7 @@ class ConformerEncoder(nn.Module):
     half_step_residual: bool = True
     dropout: float = 0.1
     mask_attn_keys: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -217,8 +234,9 @@ class ConformerEncoder(nn.Module):
         )[:T]
         x = emb + table[None]
         pos_emb = jnp.broadcast_to(table[None], (x.shape[0], T, self.d_model))
+        block_cls = _block_cls(self.remat)
         for i in range(self.n_layers):
-            x = ConformerBlock(
+            x = block_cls(
                 self.d_model,
                 self.num_heads,
                 self.ffn_expansion,
@@ -228,7 +246,7 @@ class ConformerEncoder(nn.Module):
                 self.dropout,
                 self.mask_attn_keys,
                 name=f"layer_{i}",
-            )(x, pos_emb, pad_mask, train=train)
+            )(x, pos_emb, pad_mask, train)
         return x, emb
 
 
@@ -245,6 +263,7 @@ class ConformerDecoder(nn.Module):
     half_step_residual: bool = True
     dropout: float = 0.1
     mask_attn_keys: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -256,8 +275,9 @@ class ConformerDecoder(nn.Module):
         )[:T]
         x = x + table[None]
         pos_emb = jnp.broadcast_to(table[None], (x.shape[0], T, self.d_model))
+        block_cls = _block_cls(self.remat)
         for i in range(self.n_layers):
-            x = ConformerBlock(
+            x = block_cls(
                 self.d_model,
                 self.num_heads,
                 self.ffn_expansion,
@@ -267,5 +287,5 @@ class ConformerDecoder(nn.Module):
                 self.dropout,
                 self.mask_attn_keys,
                 name=f"layer_{i}",
-            )(x, pos_emb, pad_mask, train=train)
+            )(x, pos_emb, pad_mask, train)
         return x, pad_mask

@@ -115,6 +115,16 @@ class FFTBlock(nn.Module):
         return x, attn
 
 
+def _block_cls(remat: bool):
+    """Optionally wrap FFTBlock in per-layer gradient rematerialisation
+    (same rationale as `nn/conformer.py:_block_cls`: drop the stored
+    (B, h, T, T) attention tensors from the backward pass). `train` is
+    arg 3 counting the module instance as arg 0."""
+    if remat:
+        return nn.remat(FFTBlock, static_argnums=(3,))
+    return FFTBlock
+
+
 class TransformerEncoder(nn.Module):
     """Phoneme embedding + sinusoid positions + FFT stack.
 
@@ -130,6 +140,7 @@ class TransformerEncoder(nn.Module):
     d_inner: int = 1024
     kernel_sizes: Sequence[int] = (9, 1)
     dropout: float = 0.2
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -144,15 +155,16 @@ class TransformerEncoder(nn.Module):
             sinusoid_position_table(max(self.max_seq_len + 1, T), self.d_model)
         )[:T]
         x = emb + pos[None]
+        block_cls = _block_cls(self.remat)
         for i in range(self.n_layers):
-            x, _ = FFTBlock(
+            x, _ = block_cls(
                 self.d_model,
                 self.num_heads,
                 self.d_inner,
                 self.kernel_sizes,
                 self.dropout,
                 name=f"layer_{i}",
-            )(x, pad_mask, train=train)
+            )(x, pad_mask, train)
         return x, emb
 
 
@@ -166,6 +178,7 @@ class TransformerDecoder(nn.Module):
     d_inner: int = 1024
     kernel_sizes: Sequence[int] = (9, 1)
     dropout: float = 0.2
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -176,13 +189,14 @@ class TransformerDecoder(nn.Module):
             sinusoid_position_table(max(self.max_seq_len + 1, T), self.d_model)
         )[:T]
         x = x + pos[None]
+        block_cls = _block_cls(self.remat)
         for i in range(self.n_layers):
-            x, _ = FFTBlock(
+            x, _ = block_cls(
                 self.d_model,
                 self.num_heads,
                 self.d_inner,
                 self.kernel_sizes,
                 self.dropout,
                 name=f"layer_{i}",
-            )(x, pad_mask, train=train)
+            )(x, pad_mask, train)
         return x, pad_mask
