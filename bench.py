@@ -597,7 +597,7 @@ def stage_train_fs2_bf16_remat():
     return _bench_fs2_train(True, remat=True)
 
 
-def stage_train_jets_gan():
+def stage_train_jets_gan(remat=False):
     """Full-config JETS adversarial step: gen fwd, disc update on detached
     segments, gen update vs the updated disc (`jets_trainer.py:135-200`)."""
     import jax
@@ -614,6 +614,8 @@ def stage_train_jets_gan():
 
     conf = _conf("jets")
     hp = dict(conf["models"]["jets"]["generator_params"])
+    if remat:
+        hp["remat"] = True
     model = JETS(n_symbols=NUM_SYMBOLS, n_channels=80, hparams=hp, n_speakers=2)
     dp = conf["models"]["jets"].get("discriminator_params", {})
     disc = MultiScaleMultiPeriodDiscriminator(
@@ -680,14 +682,21 @@ def stage_train_jets_gan():
         return metrics["gen"]
 
     dt = _honest_time(run, gen_state, disc_state, batch, key)
+    tag = "train_jets_gan_remat" if remat else "train_jets_gan"
     out = {
-        "train_jets_gan_steps_per_sec": 1.0 / dt,
-        "train_jets_gan_sec_per_step": dt,
+        f"{tag}_steps_per_sec": 1.0 / dt,
+        f"{tag}_sec_per_step": dt,
     }
     flops = _cost_flops(step, gen_state, disc_state, batch, key)
     if flops:
-        out["train_jets_gan_mfu"] = flops / dt / _peak_flops()
+        out[f"{tag}_mfu"] = flops / dt / _peak_flops()
     return out
+
+
+def stage_train_jets_gan_remat():
+    """JETS adversarial step with per-layer remat on the generator's
+    encoder/decoder stacks (hparams["remat"], espnet_{transformer,conformer})."""
+    return stage_train_jets_gan(remat=True)
 
 
 # ---------------------------------------------------------------------------
@@ -972,6 +981,7 @@ STAGES = {
     "train_fs2_remat": stage_train_fs2_remat,
     "train_fs2_bf16_remat": stage_train_fs2_bf16_remat,
     "train_jets_gan": stage_train_jets_gan,
+    "train_jets_gan_remat": stage_train_jets_gan_remat,
     "jets_fused": stage_jets_fused,
     "jets_imported": stage_jets_imported,
     "jets_b64": stage_jets_b64,
@@ -1009,7 +1019,8 @@ PROCESS_GROUPS = [
     # remat A/B rides last: two fresh train-step compiles that only refine
     # the training story (train_fs2/_bf16 above already carry the headline
     # train numbers) — a timeout here loses nothing upstream.
-    ("tpu_train_remat", ["train_fs2_remat", "train_fs2_bf16_remat"], 1500, "tpu"),
+    ("tpu_train_remat", ["train_fs2_remat", "train_fs2_bf16_remat",
+                         "train_jets_gan_remat"], 1800, "tpu"),
 ]
 
 
@@ -1088,6 +1099,12 @@ def build_result(acc):
         result["train_fs2_bf16_remat_speedup"] = round(
             acc["train_fs2_sec_per_step"]
             / acc["train_fs2_bf16_remat_sec_per_step"], 3
+        )
+    if ("train_jets_gan_sec_per_step" in acc
+            and "train_jets_gan_remat_sec_per_step" in acc):
+        result["train_jets_gan_remat_speedup"] = round(
+            acc["train_jets_gan_sec_per_step"]
+            / acc["train_jets_gan_remat_sec_per_step"], 3
         )
     for k, v in sorted(acc.items()):
         if k == "platform" or k.startswith("_"):

@@ -106,6 +106,49 @@ def test_fused_inference(jets_model):
     assert (np.asarray(wav_lens) % 256 == 0).all()
 
 
+@pytest.mark.parametrize("encoder_type", ["transformer", "conformer"])
+def test_jets_remat_grads_match(encoder_type):
+    """hparams["remat"]=True on the espnet stacks must leave the param tree
+    and gradients unchanged up to float32 rounding (nn/espnet_transformer.py
+    and nn/espnet_conformer.py `_layer_cls`)."""
+    batch = make_batch()
+    key = jax.random.PRNGKey(0)
+
+    def grads_for(remat):
+        hp = dict(TINY_HP)
+        if encoder_type == "conformer":
+            hp["encoder_type"] = hp["decoder_type"] = "conformer"
+        if remat:
+            hp["remat"] = True
+        model = JETS(n_symbols=131, n_channels=80, hparams=hp, n_speakers=2)
+        variables = model.init(
+            {"params": key, "dropout": key, "noise": key}, **batch, train=True
+        )
+
+        def loss_fn(params):
+            outs, _ = model.apply(
+                {"params": params, **{k: v for k, v in variables.items() if k != "params"}},
+                **batch, train=True,
+                rngs={"dropout": key, "noise": key},
+                mutable=["batch_stats"],
+            )
+            wav, bin_loss = outs[0], outs[1]
+            return jnp.mean(wav**2) + bin_loss
+
+        return jax.value_and_grad(loss_fn)(variables["params"])
+
+    loss0, g0 = grads_for(False)
+    loss1, g1 = grads_for(True)
+    assert float(loss0) == pytest.approx(float(loss1), rel=1e-6)
+    flat0 = jax.tree_util.tree_leaves_with_path(g0)
+    flat1 = {tuple(p): g for p, g in jax.tree_util.tree_leaves_with_path(g1)}
+    assert len(flat0) == len(flat1)
+    for path, g in flat0:
+        a, b = np.asarray(g), np.asarray(flat1[tuple(path)])
+        scale = max(np.abs(a).max(), 1e-8)
+        assert np.abs(a - b).max() <= 1e-4 * scale + 1e-7, jax.tree_util.keystr(path)
+
+
 def test_jets_adversarial_step(jets_model):
     from viet_tts_tpu.train.gan import make_jets_train_step
     from viet_tts_tpu.train.state import TrainState, adamw_with_clip

@@ -382,15 +382,18 @@ def build_and_lower(batch: int = 16, t_text: int = 64, t_mel: int = 512,
     return compiled
 
 
-def build_and_lower_fs2_train(mixed_precision: bool = False):
+def build_and_lower_fs2_train(mixed_precision: bool = False,
+                              remat: bool = False):
     """Lower the full-config FS2 train step (fwd+bwd+AdamW) via the bench
-    harness helpers — same graph `train_fs2_*` numbers come from."""
+    harness helpers — same graph `train_fs2_*` numbers come from. With
+    ``remat`` the per-block gradient checkpointing path (`train_fs2_remat_*`
+    stages) is lowered instead."""
     import jax
 
     import bench
     from viet_tts_tpu.train.steps import make_fs2_train_step
 
-    model, criterion, state, batch = bench._fs2_train_setup()
+    model, criterion, state, batch = bench._fs2_train_setup(remat=remat)
     step = jax.jit(make_fs2_train_step(model, criterion, mixed_precision))
     key = jax.random.PRNGKey(0)
     return step.lower(state, batch, key).compile()
@@ -403,6 +406,8 @@ def main():
     ap.add_argument("--graph", choices=["jets", "fs2_train"], default="jets")
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--remat", action="store_true",
+                    help="fs2_train only: lower the per-block remat variant")
     ap.add_argument("--top", type=int, default=15)
     args = ap.parse_args()
 
@@ -418,7 +423,9 @@ def main():
         )
 
     if args.graph == "fs2_train":
-        compiled = build_and_lower_fs2_train(mixed_precision=args.bf16)
+        compiled = build_and_lower_fs2_train(
+            mixed_precision=args.bf16, remat=args.remat
+        )
     else:
         compiled = build_and_lower(batch=args.batch, bf16=args.bf16)
     hlo = compiled.as_text()

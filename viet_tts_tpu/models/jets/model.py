@@ -81,6 +81,7 @@ class JETS(nn.Module):
                     # mirror the reference's rel-pos compatibility fallback
                     # (`jets/model.py:272-293`)
                     legacy=hp.get("conformer_rel_pos_type", "latest") == "legacy",
+                    remat=bool(hp.get("remat", False)),
                 )
             return EspnetTransformerEncoder(
                 d_model=adim,
@@ -98,6 +99,7 @@ class JETS(nn.Module):
                     f"{'encoder' if is_enc else 'decoder'}_normalize_before", True
                 ),
                 use_scaled_pos_enc=hp.get("use_scaled_pos_enc", True),
+                remat=bool(hp.get("remat", False)),
             )
 
         self.encoder = make_stack("enc", self.n_symbols + 1)

@@ -176,6 +176,15 @@ class EspnetConformerLayer(nn.Module):
         return nn.LayerNorm(epsilon=LN_EPS, name="norm_final")(x)
 
 
+def _layer_cls(remat: bool):
+    """Optionally wrap EspnetConformerLayer in per-layer gradient remat
+    (same rationale as `nn/conformer.py:_block_cls`). `train` is arg 4
+    counting the module instance as arg 0."""
+    if remat:
+        return nn.remat(EspnetConformerLayer, static_argnums=(4,))
+    return EspnetConformerLayer
+
+
 class EspnetConformerEncoder(nn.Module):
     """Drop-in alternative to EspnetTransformerEncoder for JETS."""
 
@@ -192,6 +201,7 @@ class EspnetConformerEncoder(nn.Module):
     ffn_type: str = "conv1d"
     ffn_kernel: int = 1
     legacy: bool = False  # espnet conformer_rel_pos_type == "legacy"
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -223,8 +233,9 @@ class EspnetConformerEncoder(nn.Module):
             pos_emb, deterministic=not train
         )
 
+        layer_cls = _layer_cls(self.remat)
         for i in range(self.num_blocks):
-            x = EspnetConformerLayer(
+            x = layer_cls(
                 self.d_model,
                 self.num_heads,
                 self.linear_units,
@@ -236,6 +247,6 @@ class EspnetConformerEncoder(nn.Module):
                 self.ffn_kernel,
                 self.legacy,
                 name=f"layer_{i}",
-            )(x, pos_emb, valid_mask, train=train)
+            )(x, pos_emb, valid_mask, train)
         x = nn.LayerNorm(epsilon=LN_EPS, name="after_norm")(x)
         return x, valid_mask

@@ -125,6 +125,16 @@ class EspnetEncoderLayer(nn.Module):
         return x
 
 
+def _layer_cls(remat: bool):
+    """Optionally wrap EspnetEncoderLayer in per-layer gradient remat (same
+    rationale as `nn/conformer.py:_block_cls`: recompute the block in the
+    backward sweep instead of storing its fp32 (B, h, T, T) attention
+    tensors). `train` is arg 3 counting the module instance as arg 0."""
+    if remat:
+        return nn.remat(EspnetEncoderLayer, static_argnums=(3,))
+    return EspnetEncoderLayer
+
+
 class EspnetTransformerEncoder(nn.Module):
     """Embedding (optional) + scaled PE + pre-norm blocks + final LN.
 
@@ -142,6 +152,7 @@ class EspnetTransformerEncoder(nn.Module):
     attn_dropout: float = 0.1
     normalize_before: bool = True
     use_scaled_pos_enc: bool = True
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -170,8 +181,9 @@ class EspnetTransformerEncoder(nn.Module):
         attn_mask = None
         if valid_mask is not None:
             attn_mask = valid_mask[:, None, :]  # (B, 1, T) broadcast over queries
+        layer_cls = _layer_cls(self.remat)
         for i in range(self.num_blocks):
-            x = EspnetEncoderLayer(
+            x = layer_cls(
                 self.d_model,
                 self.num_heads,
                 self.linear_units,
@@ -180,7 +192,7 @@ class EspnetTransformerEncoder(nn.Module):
                 self.attn_dropout,
                 self.normalize_before,
                 name=f"layer_{i}",
-            )(x, attn_mask, train=train)
+            )(x, attn_mask, train)
         if self.normalize_before:
             x = nn.LayerNorm(epsilon=LN_EPS, name="after_norm")(x)
         return x, valid_mask
