@@ -72,10 +72,17 @@ def ctc_forward_sum(
         active = (t < query_lens)[:, None]
         return jnp.where(active, new, alpha), None
 
+    # Serial DP over mel frames (order-dependent log-sum-exp), but each
+    # iteration's arithmetic is tiny vs its dispatch latency on TPU
+    # (PERF_NOTES.md §2: ~26us/iter x 512 frames bounds the FS2 train
+    # step). unroll=8 fuses 8 frame updates per loop body: the (B, S)
+    # carry stays in VMEM across the fused chain and loop overhead
+    # amortizes 8x. Math is unchanged.
     alpha_final, _ = jax.lax.scan(
         step,
         alpha0,
         (jnp.swapaxes(lp_states[:, 1:, :], 0, 1), t_idx[1:]),
+        unroll=8,
     )
 
     batch = jnp.arange(B)

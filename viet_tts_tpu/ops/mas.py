@@ -65,9 +65,14 @@ def monotonic_alignment(
         lp = jnp.maximum(lp, NEG)
         return lp, advance
 
-    # scores for frames 1..T_mel-1, scanned over the mel axis.
+    # scores for frames 1..T_mel-1, scanned over the mel axis. The DP is
+    # order-dependent so the scan stays serial, but the carry is tiny
+    # ((B, T_text) floats) and each iteration is latency- not compute-bound
+    # on TPU (PERF_NOTES.md §2); unrolling fuses 8 frame updates into one
+    # loop body so intermediates stay in VMEM instead of round-tripping HBM
+    # 8x, and the while-loop bookkeeping amortizes.
     _, advances = jax.lax.scan(
-        forward, row0, jnp.swapaxes(scores[:, 1:, :], 0, 1)
+        forward, row0, jnp.swapaxes(scores[:, 1:, :], 0, 1), unroll=8
     )
     # advance[i] says whether frame i came from text j-1 at frame i-1.
     advances = jnp.concatenate(
@@ -91,6 +96,7 @@ def monotonic_alignment(
         backward,
         init_j,
         (advances[::-1], jnp.arange(T_mel - 1, -1, -1)),
+        unroll=8,
     )
     path = jnp.swapaxes(path_rev[::-1], 0, 1).astype(jnp.float32)
     durations = path.sum(axis=1)
