@@ -116,6 +116,15 @@ class CLNFFTBlock(nn.Module):
         return x
 
 
+def _block_cls(remat: bool):
+    """Optionally wrap CLNFFTBlock in per-layer gradient remat (same
+    rationale as `nn/conformer.py:_block_cls`). `train` is arg 4 counting
+    the module instance as arg 0."""
+    if remat:
+        return nn.remat(CLNFFTBlock, static_argnums=(4,))
+    return CLNFFTBlock
+
+
 class CLNTransformerEncoder(nn.Module):
     """Embedding + sinusoid positions + CLN FFT stack."""
 
@@ -127,6 +136,7 @@ class CLNTransformerEncoder(nn.Module):
     d_inner: int = 1024
     kernel_sizes: Sequence[int] = (9, 1)
     dropout: float = 0.2
+    remat: bool = False
 
     @nn.compact
     def __call__(self, src_seq, pad_mask, spk, train: bool = False):
@@ -139,15 +149,16 @@ class CLNTransformerEncoder(nn.Module):
             sinusoid_position_table(max(self.max_seq_len + 1, T), self.d_model)
         )[:T]
         x = emb + pos[None]
+        block_cls = _block_cls(self.remat)
         for i in range(self.n_layers):
-            x = CLNFFTBlock(
+            x = block_cls(
                 self.d_model,
                 self.num_heads,
                 self.d_inner,
                 self.kernel_sizes,
                 self.dropout,
                 name=f"layer_{i}",
-            )(x, spk, pad_mask, train=train)
+            )(x, spk, pad_mask, train)
         return x, emb
 
 
@@ -159,6 +170,7 @@ class CLNTransformerDecoder(nn.Module):
     d_inner: int = 1024
     kernel_sizes: Sequence[int] = (9, 1)
     dropout: float = 0.2
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, pad_mask, spk, train: bool = False):
@@ -169,15 +181,16 @@ class CLNTransformerDecoder(nn.Module):
             sinusoid_position_table(max(self.max_seq_len + 1, T), self.d_model)
         )[:T]
         x = x + pos[None]
+        block_cls = _block_cls(self.remat)
         for i in range(self.n_layers):
-            x = CLNFFTBlock(
+            x = block_cls(
                 self.d_model,
                 self.num_heads,
                 self.d_inner,
                 self.kernel_sizes,
                 self.dropout,
                 name=f"layer_{i}",
-            )(x, spk, pad_mask, train=train)
+            )(x, spk, pad_mask, train)
         return x, pad_mask
 
 

@@ -63,6 +63,7 @@ class AdaSpeech(nn.Module):
             d_inner=bconf["conv_filter_size"],
             kernel_sizes=tuple(bconf["conv_kernel_size"]),
             dropout=bconf["encoder_dropout"],
+            remat=bool(hp.get("remat", False)),
         )
         self.decoder = CLNTransformerDecoder(
             n_layers=hp["decoder_layers"],
@@ -72,6 +73,7 @@ class AdaSpeech(nn.Module):
             d_inner=bconf["conv_filter_size"],
             kernel_sizes=tuple(bconf["conv_kernel_size"]),
             dropout=bconf["decoder_dropout"],
+            remat=bool(hp.get("remat", False)),
         )
 
         self.use_cvae = bool(hp.get("use_cvae", False))

@@ -233,17 +233,16 @@ class UNetDecoder(nn.Module):
     down_block_type: str = "transformer"
     mid_block_type: str = "transformer"
     up_block_type: str = "transformer"
+    remat: bool = False
 
     def _block(self, block_type: str, dim: int, name: str):
-        if block_type == "conformer":
-            return ConformerBlock(
-                dim,
-                self.num_heads,
-                self.attention_head_dim,
-                self.dropout,
-                name=name,
-            )
-        return BasicTransformerBlock(
+        cls = ConformerBlock if block_type == "conformer" else BasicTransformerBlock
+        if self.remat:
+            # per-block gradient remat (same rationale as
+            # `nn/conformer.py:_block_cls`); `train` is arg 3 counting the
+            # module instance as arg 0 for both block classes
+            cls = nn.remat(cls, static_argnums=(3,))
+        return cls(
             dim,
             self.num_heads,
             self.attention_head_dim,
@@ -282,7 +281,7 @@ class UNetDecoder(nn.Module):
             h = ResnetBlock1D(ch, name=f"down_res_{i}")(h, m, t_emb)
             for j in range(self.n_blocks):
                 h = self._block(self.down_block_type, ch, f"down_tf_{i}_{j}")(
-                    h, m[..., 0] > 0, train=train
+                    h, m[..., 0] > 0, train
                 )
             hiddens.append(h)
             if not is_last:
@@ -299,7 +298,7 @@ class UNetDecoder(nn.Module):
             for j in range(self.n_blocks):
                 h = self._block(
                     self.mid_block_type, channels[-1], f"mid_tf_{i}_{j}"
-                )(h, m_mid[..., 0] > 0, train=train)
+                )(h, m_mid[..., 0] > 0, train)
 
         up_channels = channels[::-1] + (channels[0],)
         for i in range(len(up_channels) - 1):
@@ -310,7 +309,7 @@ class UNetDecoder(nn.Module):
             h = ResnetBlock1D(out_ch, name=f"up_res_{i}")(h, m, t_emb)
             for j in range(self.n_blocks):
                 h = self._block(self.up_block_type, out_ch, f"up_tf_{i}_{j}")(
-                    h, m[..., 0] > 0, train=train
+                    h, m[..., 0] > 0, train
                 )
             if not is_last:
                 # ConvTranspose1d(4, stride 2, pad 1): exact torch geometry

@@ -52,6 +52,7 @@ class CFM(nn.Module):
             down_block_type=p.get("down_block_type", "transformer"),
             mid_block_type=p.get("mid_block_type", "transformer"),
             up_block_type=p.get("up_block_type", "transformer"),
+            remat=bool(p.get("remat", False)),
         )
 
     def __call__(
