@@ -103,14 +103,16 @@ def _jax_sum(out):
     return jnp.sum(leaf)
 
 
-def _cost_flops(jitted_fn, *args):
-    """Analytic flop count of the compiled graph (XLA cost analysis).
+def _cost_analysis(jitted_fn, *args):
+    """Analytic {flops, bytes accessed} of the compiled graph (XLA cost
+    analysis).
 
     Cached to disk keyed by the sha256 of the lowered module text: on the
     axon runtime even a persistent-cache-hit `.compile()` must load the
     executable onto the remote device (~minutes for the big graphs), and
-    the flop count of an unchanged graph never changes. Lowering itself is
-    pure host-side tracing and stays in the cache key path."""
+    the cost of an unchanged graph never changes. Lowering itself is pure
+    host-side tracing and stays in the cache key path. Legacy cache entries
+    (bare flop floats from earlier rounds) are honored with bytes=None."""
     import hashlib
 
     cache_path = os.path.join(REPO, ".jax_cache", "bench_flops.json")
@@ -118,31 +120,41 @@ def _cost_flops(jitted_fn, *args):
         lowered = jitted_fn.lower(*args)
         key = hashlib.sha256(lowered.as_text().encode()).hexdigest()
     except Exception:
-        return None
+        return {"flops": None, "bytes": None}
     try:
         with open(cache_path) as f:
             cache = json.load(f)
     except Exception:
         cache = {}
     if key in cache:
-        return cache[key] or None
+        v = cache[key]
+        if isinstance(v, dict):
+            return {"flops": v.get("flops") or None,
+                    "bytes": v.get("bytes") or None}
+        return {"flops": v or None, "bytes": None}
     try:
         compiled = lowered.compile()
         ca = compiled.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
         flops = float(ca.get("flops", 0.0))
-        flops = flops if flops > 0 else None
+        nbytes = float(ca.get("bytes accessed", 0.0))
+        entry = {"flops": flops if flops > 0 else None,
+                 "bytes": nbytes if nbytes > 0 else None}
     except Exception:
-        return None
+        return {"flops": None, "bytes": None}
     try:
         os.makedirs(os.path.dirname(cache_path), exist_ok=True)
-        cache[key] = flops
+        cache[key] = entry
         with open(cache_path, "w") as f:
             json.dump(cache, f)
     except OSError:
         pass
-    return flops
+    return entry
+
+
+def _cost_flops(jitted_fn, *args):
+    return _cost_analysis(jitted_fn, *args)["flops"]
 
 
 def _peak_flops():
@@ -568,9 +580,11 @@ def _bench_fs2_train(mixed_precision, remat=False):
         f"{tag}_steps_per_sec": 1.0 / dt,
         f"{tag}_sec_per_step": dt,
     }
-    flops = _cost_flops(step, state, batch, key)
-    if flops:
-        out[f"{tag}_mfu"] = flops / dt / _peak_flops()
+    cost = _cost_analysis(step, state, batch, key)
+    if cost["flops"]:
+        out[f"{tag}_mfu"] = cost["flops"] / dt / _peak_flops()
+    if cost["bytes"]:
+        out[f"{tag}_hbm_gb_per_step"] = cost["bytes"] / 1e9
     return out
 
 
@@ -687,9 +701,11 @@ def stage_train_jets_gan(remat=False):
         f"{tag}_steps_per_sec": 1.0 / dt,
         f"{tag}_sec_per_step": dt,
     }
-    flops = _cost_flops(step, gen_state, disc_state, batch, key)
-    if flops:
-        out[f"{tag}_mfu"] = flops / dt / _peak_flops()
+    cost = _cost_analysis(step, gen_state, disc_state, batch, key)
+    if cost["flops"]:
+        out[f"{tag}_mfu"] = cost["flops"] / dt / _peak_flops()
+    if cost["bytes"]:
+        out[f"{tag}_hbm_gb_per_step"] = cost["bytes"] / 1e9
     return out
 
 
