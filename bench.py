@@ -715,6 +715,112 @@ def stage_train_jets_gan_remat():
     return stage_train_jets_gan(remat=True)
 
 
+def stage_train_vits2():
+    """Full-config VITS2 3-optimizer adversarial step (gen + MPD + duration
+    discriminator), mirroring `train/vits2_trainer.py:296-340` — the
+    heaviest trainer in the suite (`/root/reference/src/trainer/vits.py`)."""
+    import jax
+    import jax.numpy as jnp
+
+    from viet_tts_tpu.models.vits2 import (
+        VITS2,
+        DurationDiscriminator,
+        MultiPeriodDiscriminator,
+    )
+    from viet_tts_tpu.text import NUM_SYMBOLS
+    from viet_tts_tpu.train.state import TrainState, adamw_with_clip, init_on_cpu
+    from viet_tts_tpu.train.vits2_trainer import make_vits2_train_step
+
+    conf = _conf("vits2")
+    hp = conf["models"]["vits2"]
+    n_mels = conf["audio"]["mel"]["channels"]
+    model = VITS2(
+        n_symbols=NUM_SYMBOLS, hparams=hp, n_speakers=2, spec_channels=n_mels
+    )
+    disc = MultiPeriodDiscriminator(
+        periods=tuple(hp.get("mpd_periods", (2, 3, 5, 7, 11)))
+    )
+    dur_disc = DurationDiscriminator(
+        in_channels=hp["hidden_channels"],
+        filter_channels=hp["hidden_channels"],
+        variant=hp.get("duration_discriminator_type", "dur_disc_1"),
+    )
+    a = conf["audio"]
+    mel_kw = dict(
+        sr=a["signal"]["sampling_rate"],
+        n_fft=a["stft"]["filter_length"],
+        hop_length=a["stft"]["hop_length"],
+        win_length=a["stft"]["win_length"],
+        window=a["stft"]["window"],
+        n_mels=a["mel"]["channels"],
+        fmin=a["mel"]["fmin"] or 0.0,
+        fmax=a["mel"]["fmax"],
+        log_base=a["mel"]["log_base"],
+    )
+    lc = conf["train"]["vits2"]["loss"]
+    lambdas = {"c_mel": lc.get("c_mel", 45), "c_kl": lc.get("c_kl", 1.0)}
+
+    rng = np.random.RandomState(0)
+    # interspersed text is ~2x+1 the raw length (InterspersedDataset)
+    Bt, Tt, Tm = TRAIN_B, 2 * T_TEXT + 1, T_MEL
+    batch = dict(
+        text=jnp.asarray(rng.randint(1, NUM_SYMBOLS, (Bt, Tt)).astype(np.int32)),
+        text_lengths=jnp.asarray(np.full(Bt, Tt, np.int32)),
+        feats=jnp.asarray(rng.randn(Bt, Tm, n_mels).astype(np.float32)),
+        feats_lengths=jnp.asarray(np.full(Bt, Tm, np.int32)),
+        sids=jnp.zeros(Bt, jnp.int32),
+        speech=jnp.asarray(
+            0.1 * rng.randn(Bt, Tm * HOP).astype(np.float32)
+        ),
+    )
+    key = jax.random.PRNGKey(0)
+    rngs = {"params": key, "dropout": key, "noise": key, "segment": key}
+    gv = init_on_cpu(
+        model.init, rngs,
+        **{k: v for k, v in batch.items() if k != "speech"},
+        step=0, train=True,
+    )
+    seg = int(hp.get("segment_size", 8192))
+    dv = init_on_cpu(
+        disc.init, key,
+        np.zeros((2, seg, 1), np.float32), np.zeros((2, seg, 1), np.float32),
+    )
+    ddv = init_on_cpu(
+        dur_disc.init, key,
+        np.zeros((2, Tt, hp["hidden_channels"]), np.float32),
+        np.ones((2, Tt, 1), np.float32),
+        np.zeros((2, Tt, 1), np.float32),
+        np.zeros((2, Tt, 1), np.float32),
+    )
+    step = jax.jit(
+        make_vits2_train_step(model, disc, dur_disc, mel_kw, lambdas, HOP)
+    )
+    states = (
+        TrainState.create(apply_fn=model.apply, params=gv["params"],
+                          tx=adamw_with_clip(2e-4)),
+        TrainState.create(apply_fn=disc.apply, params=dv["params"],
+                          tx=adamw_with_clip(2e-4)),
+        TrainState.create(apply_fn=dur_disc.apply, params=ddv["params"],
+                          tx=adamw_with_clip(2e-4)),
+    )
+
+    def run(gs, ds, dds, batch, key):
+        _, _, _, metrics = step(gs, ds, dds, batch, key)
+        return metrics["gen"]
+
+    dt = _honest_time(run, *states, batch, key)
+    out = {
+        "train_vits2_steps_per_sec": 1.0 / dt,
+        "train_vits2_sec_per_step": dt,
+    }
+    cost = _cost_analysis(step, *states, batch, key)
+    if cost["flops"]:
+        out["train_vits2_mfu"] = cost["flops"] / dt / _peak_flops()
+    if cost["bytes"]:
+        out["train_vits2_hbm_gb_per_step"] = cost["bytes"] / 1e9
+    return out
+
+
 # ---------------------------------------------------------------------------
 # CPU stages: reference torch anchor, MCD probes, input pipeline
 # ---------------------------------------------------------------------------
@@ -998,6 +1104,7 @@ STAGES = {
     "train_fs2_bf16_remat": stage_train_fs2_bf16_remat,
     "train_jets_gan": stage_train_jets_gan,
     "train_jets_gan_remat": stage_train_jets_gan_remat,
+    "train_vits2": stage_train_vits2,
     "jets_fused": stage_jets_fused,
     "jets_imported": stage_jets_imported,
     "jets_b64": stage_jets_b64,
@@ -1037,6 +1144,9 @@ PROCESS_GROUPS = [
     # train numbers) — a timeout here loses nothing upstream.
     ("tpu_train_remat", ["train_fs2_remat", "train_fs2_bf16_remat",
                          "train_jets_gan_remat"], 1800, "tpu"),
+    # the heaviest trainer, one fresh compile; last so a timeout loses
+    # nothing upstream
+    ("tpu_train_vits2", ["train_vits2"], 1500, "tpu"),
 ]
 
 
