@@ -112,7 +112,9 @@ def _cost_analysis(jitted_fn, *args):
     executable onto the remote device (~minutes for the big graphs), and
     the cost of an unchanged graph never changes. Lowering itself is pure
     host-side tracing and stays in the cache key path. Legacy cache entries
-    (bare flop floats from earlier rounds) are honored with bytes=None."""
+    (bare flop floats from earlier rounds) are treated as stale and
+    recomputed once so the bytes field gets populated — one extra
+    executable load per legacy graph, amortized forever after."""
     import hashlib
 
     cache_path = os.path.join(REPO, ".jax_cache", "bench_flops.json")
@@ -126,12 +128,10 @@ def _cost_analysis(jitted_fn, *args):
             cache = json.load(f)
     except Exception:
         cache = {}
-    if key in cache:
+    if isinstance(cache.get(key), dict):
         v = cache[key]
-        if isinstance(v, dict):
-            return {"flops": v.get("flops") or None,
-                    "bytes": v.get("bytes") or None}
-        return {"flops": v or None, "bytes": None}
+        return {"flops": v.get("flops") or None,
+                "bytes": v.get("bytes") or None}
     try:
         compiled = lowered.compile()
         ca = compiled.cost_analysis()
