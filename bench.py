@@ -1052,6 +1052,60 @@ def stage_mcd_jets(n_mcep=13):
     return {"mcd_vs_reference_jets": float(np.mean(vals))}
 
 
+def stage_mcd_vits2(n_mcep=13):
+    """Same architecture-parity probe for VITS2 (the last family without
+    one): import a seeded reference VITS2 at the shipped config, run both
+    deterministic inferences (noise scales 0) on identical inputs,
+    re-extract mel from both waveforms and report MCD."""
+    import copy
+
+    import torch
+    import jax.numpy as jnp
+
+    from tests.test_torch_import import _load_reference_vits2
+    from viet_tts_tpu.dsp.stft import log_mel_spectrogram
+    from viet_tts_tpu.eval.mcd import mcd
+    from viet_tts_tpu.models.vits2 import VITS2
+    from viet_tts_tpu.train.torch_import import import_vits2
+
+    import jax
+
+    conf = _conf("vits2")
+    hp = copy.deepcopy(conf["models"]["vits2"])
+    TorchVITS2 = _load_reference_vits2()
+    torch.manual_seed(0)
+    tm = TorchVITS2(n_vocab=132, spec_channels=80, n_speakers=2, **hp).eval()
+    fm = VITS2(n_symbols=132, hparams=dict(hp), n_speakers=2)
+    variables = import_vits2(tm.state_dict(), hp)
+
+    rng = np.random.RandomState(7)
+    text = rng.randint(1, 131, (1, 15))
+    lens = np.asarray([15])
+    sids = np.asarray([1])
+    with torch.no_grad():
+        t_wav, t_wl = tm.inference(
+            torch.from_numpy(sids).long(),
+            torch.from_numpy(text).long(),
+            torch.from_numpy(lens).long(),
+            d_control=1.0, noise_scale=0.0, noise_scale_w=0.0,
+        )
+    t_wav = t_wav.numpy()[:, 0]
+    up = int(np.prod(hp["upsample_rates"]))
+    frames = t_wav.shape[-1] // up
+    j_wav, j_wl = fm.apply(
+        variables, jnp.asarray(sids), jnp.asarray(text), jnp.asarray(lens),
+        int(frames), noise_scale=0.0, noise_scale_w=0.0,
+        method=fm.inference, rngs={"noise": jax.random.PRNGKey(0)},
+    )
+    j_wav = np.asarray(j_wav)
+    if not np.array_equal(np.asarray(j_wl), t_wl.numpy()):
+        return {"mcd_vs_reference_vits2": -1.0}
+    n = int(t_wl[0])
+    m_t = np.asarray(log_mel_spectrogram(jnp.asarray(t_wav[0, :n])))
+    m_j = np.asarray(log_mel_spectrogram(jnp.asarray(j_wav[0, :n])))
+    return {"mcd_vs_reference_vits2": float(mcd(m_j, m_t, n_mcep))}
+
+
 def stage_input_pipeline():
     """Host data-pipeline throughput (VERDICT r2 item 9): time the bucketed
     batcher (C++ collate underneath) over a synthetic cached dataset; the
@@ -1112,6 +1166,7 @@ STAGES = {
     "cpu_anchor": stage_cpu_anchor,
     "mcd": stage_mcd,
     "mcd_jets": stage_mcd_jets,
+    "mcd_vits2": stage_mcd_vits2,
     "input_pipeline": stage_input_pipeline,
 }
 
@@ -1130,7 +1185,8 @@ PROCESS_GROUPS = [
     ("cpu_anchor", ["cpu_anchor"], 600, "cpu-torch"),
     # cheap when warm (~30s) and carries the mcd_* keys -> before the big
     # TPU groups so a tight driver timeout still captures them
-    ("cpu_eval", ["mcd", "mcd_jets", "input_pipeline"], 900, "cpu-jax"),
+    ("cpu_eval", ["mcd", "mcd_jets", "mcd_vits2", "input_pipeline"], 1200,
+     "cpu-jax"),
     # jets_b64 compiles two fresh B=64 executables (fp32 + bf16): the most
     # compile-expensive stage in the suite. It gets its OWN group so a slow
     # remote compile can only forfeit itself (r3e: it timed out the whole
