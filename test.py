@@ -37,6 +37,9 @@ def build_arguments():
     p.add_argument("--accent", type=str, default="0")
     p.add_argument("--half", action="store_true",
                    help="serve in bfloat16 (MXU-rate matmuls)")
+    p.add_argument("--sequence_parallel", action="store_true",
+                   help="time-shard the vocoder over the device mesh "
+                        "(single-utterance latency lever)")
     p.add_argument("--data_parallel", action="store_true",
                    help="shard the batch over all visible devices")
     p.add_argument("--d_control", type=float, default=1.0)
@@ -70,6 +73,7 @@ def main():
             model_type=args.model_type,
             half=args.half,
             data_parallel=args.data_parallel,
+            sequence_parallel=args.sequence_parallel,
         )
         waves = nnet(
             texts,
@@ -86,6 +90,7 @@ def main():
             model_type=args.model_type,
             half=args.half,
             data_parallel=args.data_parallel,
+            sequence_parallel=args.sequence_parallel,
         )
         waves = nnet(texts, speaker=speaker)
     load_and_synth = time.time() - t0

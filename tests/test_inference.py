@@ -159,3 +159,20 @@ def test_two_stage_data_parallel(trained_ckpts):
     ref = TwoStageTTS(ac_out, voc_out, max_mel_frames=256)
     ref_waves = ref(["xin chào các bạn"], speaker="hn_spk", accent="hn")
     np.testing.assert_allclose(waves[0], ref_waves[0], atol=2e-5)
+
+
+def test_two_stage_sequence_parallel(trained_ckpts):
+    """Sequence-parallel serving: the vocoder's time axis spatially
+    partitioned over the 8-device CPU mesh, waveform identical to the
+    single-device graph (batch axis untouched)."""
+    from viet_tts_tpu.infer.api import TwoStageTTS
+
+    ac_out, voc_out = trained_ckpts
+    tts = TwoStageTTS(
+        ac_out, voc_out, max_mel_frames=256, sequence_parallel=True
+    )
+    assert tts.mesh is None and tts._seq_sharding is not None
+    waves = tts(["xin chào các bạn"], speaker="hn_spk", accent="hn")
+    ref = TwoStageTTS(ac_out, voc_out, max_mel_frames=256)
+    ref_waves = ref(["xin chào các bạn"], speaker="hn_spk", accent="hn")
+    np.testing.assert_allclose(waves[0], ref_waves[0], atol=2e-5)

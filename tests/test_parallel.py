@@ -179,6 +179,11 @@ def test_jets_gan_tensor_parallel_matches_single_device():
     # the rules must fire on the espnet encoder/decoder attention + FFN
     assert any("linear_q" in p for p in sharded_paths), sharded_paths[:5]
     assert any("w_2" in p for p in sharded_paths), sharded_paths[:5]
+    # ... and on the HiFiGAN vocoder MRF pairs (the serving-roofline bulk)
+    assert any("conv1_0/conv/kernel" in p for p in sharded_paths), (
+        sharded_paths[:5])
+    assert any("conv2_0/conv/kernel" in p for p in sharded_paths), (
+        sharded_paths[:5])
     gen_tp = shard_params_tp(mesh2d, gen_tp, specs)
 
     _, _, metrics_tp = step(
@@ -298,9 +303,13 @@ def test_vits2_gan_tensor_parallel_matches_single_device():
     specs = param_partition_specs(gen_tp.params, model_parallel=2)
     flat = tu.flatten_dict(specs)
     sharded_paths = ["/".join(k) for k, v in flat.items() if v != P()]
-    # rules must fire on the VITS attention 1x1-conv kernels
+    # rules must fire on the VITS attention 1x1-conv kernels and on the
+    # waveform-decoder MRF pairs
     assert any("conv_q" in p for p in sharded_paths), sharded_paths[:5]
     assert any("conv_o" in p for p in sharded_paths), sharded_paths[:5]
+    assert any(
+        "res_" in p and "conv1_0/conv/kernel" in p for p in sharded_paths
+    ), sharded_paths[:5]
     gen_tp = shard_params_tp(mesh2d, gen_tp, specs)
 
     _, _, _, metrics_tp = step(
@@ -435,4 +444,105 @@ def test_tp_rules_cover_conformer_ffn_kernels():
     ]
     assert fired_col and fired_row, (
         sorted("/".join(k) for k in specs_e)[:12]
+    )
+
+
+def test_tp_rules_cover_vocoder_mrf_pairs():
+    """The vocoder rules shard each MRF conv1 (output channels) / conv2
+    (input channels) pair, skip non-divisible channel counts, leave
+    WeightNorm scales/biases and the duration-predictor's conv_1/conv_2
+    replicated."""
+    from jax.sharding import PartitionSpec as P
+    import flax.traverse_util as tu
+
+    from viet_tts_tpu.models.hifigan import HiFiGANGenerator
+    from viet_tts_tpu.parallel.mesh import MODEL_AXIS, param_partition_specs
+
+    g = HiFiGANGenerator(
+        in_channels=16, channels=16,
+        upsample_scales=(4, 4, 2, 2), upsample_kernel_sizes=(8, 8, 4, 4),
+        resblock_kernel_sizes=(3,), resblock_dilations=((1, 3),),
+    )
+    v = g.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 16)))
+    specs = tu.flatten_dict(param_partition_specs(v["params"], 2))
+    by_path = {"/".join(k): s for k, s in specs.items()}
+    # stage 0 (C=8): conv1 col (bias shards with the output features),
+    # conv2 row (bias replicated: added after the all-reduce); WN scales
+    # stay replicated (read shard-locally, no comm)
+    assert by_path["block_0_0/conv1_0/conv/kernel"] == P(None, None, MODEL_AXIS)
+    assert by_path["block_0_0/conv2_0/conv/kernel"] == P(None, MODEL_AXIS, None)
+    assert by_path["block_0_0/conv1_0/conv/bias"] == P(MODEL_AXIS)
+    assert by_path["block_0_0/conv2_0/conv/bias"] == P()
+    assert by_path["block_0_0/conv1_0/wn/conv/kernel/scale"] == P()
+    # last stage has C=1: not divisible -> replicated
+    assert by_path["block_3_0/conv1_0/conv/kernel"] == P()
+    # input/output convs and upsample kernels stay replicated
+    assert by_path["input_conv/conv/kernel"] == P()
+    assert by_path["output_conv/conv/kernel"] == P()
+    assert by_path["upsample_0/kernel_v"] == P()
+
+    # duration-predictor style conv_1/conv_2 names (underscore-digit) must
+    # NOT match the MRF-pair rule
+    from viet_tts_tpu.models.vits2.layers import VitsDurationPredictor
+
+    dp = VitsDurationPredictor(filter_channels=16)
+    dv = dp.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, 8, 16)), jnp.ones((1, 8, 1)),
+    )
+    specs_dp = tu.flatten_dict(param_partition_specs(dv["params"], 2))
+    for k, s in specs_dp.items():
+        assert s == P(), ("/".join(map(str, k)), s)
+
+
+def test_jets_sequence_parallel_inference_matches_single_device(mesh):
+    """Sequence-parallel serving: time-sharding the vocoder input
+    (`parallel.mesh.seq_sharded` -> JETS.inference(seq_sharding=...))
+    spatially partitions the decode over the mesh with identical waveform
+    output (GSPMD halo exchanges, math unchanged)."""
+    from viet_tts_tpu.models.jets import JETS
+    from viet_tts_tpu.parallel.mesh import replicated, seq_sharded
+    from viet_tts_tpu.text import NUM_SYMBOLS
+    from viet_tts_tpu.train.state import init_on_cpu
+
+    hp = {
+        "adim": 32, "aheads": 2, "elayers": 1, "eunits": 64,
+        "dlayers": 1, "dunits": 64,
+        "duration_predictor_chans": 16, "pitch_predictor_chans": 16,
+        "pitch_predictor_layers": 2, "energy_predictor_chans": 16,
+        "generator_channels": 16,
+        "generator_resblock_kernel_sizes": [3],
+        "generator_resblock_dilations": [[1, 3]],
+        "segment_size": 8,
+    }
+    model = JETS(
+        n_symbols=NUM_SYMBOLS, n_channels=80, hparams=hp, n_speakers=2
+    )
+    B, T_text, T_mel = 2, 12, 64
+    rng = np.random.RandomState(0)
+    text = jnp.asarray(rng.randint(1, NUM_SYMBOLS, (B, T_text)), jnp.int32)
+    lens = jnp.full((B,), T_text, jnp.int32)
+    sids = jnp.zeros((B,), jnp.int32)
+    key = jax.random.PRNGKey(0)
+    variables = init_on_cpu(
+        model.init, {"params": key, "dropout": key, "noise": key},
+        sids, text, lens, T_mel, method=model.inference,
+    )
+
+    def synth(variables, sids, text, lens, seq_sharding=None):
+        return model.apply(
+            variables, sids, text, lens, T_mel,
+            seq_sharding=seq_sharding, method=model.inference,
+        )
+
+    wav_ref, len_ref = jax.jit(synth)(variables, sids, text, lens)
+
+    variables_r = jax.device_put(variables, replicated(mesh))
+    wav_sp, len_sp = jax.jit(
+        lambda v, s, t, l: synth(v, s, t, l, seq_sharding=seq_sharded(mesh))
+    )(variables_r, sids, text, lens)
+
+    np.testing.assert_array_equal(np.asarray(len_sp), np.asarray(len_ref))
+    np.testing.assert_allclose(
+        np.asarray(wav_sp), np.asarray(wav_ref), rtol=1e-5, atol=1e-5
     )

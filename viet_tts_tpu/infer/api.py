@@ -214,6 +214,7 @@ class TwoStageTTS(_TTSBase):
         max_mel_frames: int = 1008,
         half: bool = False,
         data_parallel: bool = False,
+        sequence_parallel: bool = False,
         fused_vocoder: bool = False,
         packed_vocoder: bool | None = None,
     ):
@@ -274,6 +275,7 @@ class TwoStageTTS(_TTSBase):
         # XLA runs the same jitted graph SPMD over the mesh (no code change
         # in the model -- sharding is operand placement only)
         self.mesh = None
+        self._seq_sharding = None
         if data_parallel and len(jax.devices()) > 1:
             from viet_tts_tpu.parallel import make_mesh, replicated
 
@@ -281,6 +283,15 @@ class TwoStageTTS(_TTSBase):
             rep = replicated(self.mesh)
             self.acoustic_vars = jax.device_put(self.acoustic_vars, rep)
             self.vocoder_vars = jax.device_put(self.vocoder_vars, rep)
+        elif sequence_parallel and len(jax.devices()) > 1:
+            # time-shard the mel handed to the vocoder (see OneStageTTS)
+            from viet_tts_tpu.parallel import make_mesh, replicated, seq_sharded
+
+            smesh = make_mesh()
+            rep = replicated(smesh)
+            self.acoustic_vars = jax.device_put(self.acoustic_vars, rep)
+            self.vocoder_vars = jax.device_put(self.vocoder_vars, rep)
+            self._seq_sharding = seq_sharded(smesh)
         # variables passed as jit args (NOT closure constants — closing over
         # the parameter pytree would bake it into the HLO as literals)
         self._synth = jax.jit(
@@ -352,6 +363,8 @@ class TwoStageTTS(_TTSBase):
             method=self.acoustic.inference,
             rngs={"noise": jax.random.PRNGKey(0)},  # Matcha ODE start noise
         )
+        if self._seq_sharding is not None:
+            mel = jax.lax.with_sharding_constraint(mel, self._seq_sharding)
         wav = self.vocoder.apply(vocoder_vars, mel)
         return mel, mel_lens, wav[..., 0]
 
@@ -405,7 +418,8 @@ class OneStageTTS(_TTSBase):
 
     def __init__(self, checkpoint_path: str, model_type: str = "JETS",
                  max_mel_frames: int = 1008, half: bool = False,
-                 data_parallel: bool = False, fused_vocoder: bool = False,
+                 data_parallel: bool = False, sequence_parallel: bool = False,
+                 fused_vocoder: bool = False,
                  packed_vocoder: bool | None = None):
         import jax
 
@@ -505,11 +519,22 @@ class OneStageTTS(_TTSBase):
         if half:
             self.variables = cast_floating(self.variables, jnp.bfloat16)
         self.mesh = None
+        self._seq_sharding = None
         if data_parallel and len(jax.devices()) > 1:
             from viet_tts_tpu.parallel import make_mesh, replicated
 
             self.mesh = make_mesh()
             self.variables = jax.device_put(self.variables, replicated(self.mesh))
+        elif sequence_parallel and len(jax.devices()) > 1:
+            # sequence-parallel serving: weights replicated, the vocoder's
+            # time axis spatially partitioned over the mesh (the latency
+            # lever when one long utterance can't fill the batch axis);
+            # self.mesh stays None so __call__ doesn't shard the batch
+            from viet_tts_tpu.parallel import make_mesh, replicated, seq_sharded
+
+            smesh = make_mesh()
+            self.variables = jax.device_put(self.variables, replicated(smesh))
+            self._seq_sharding = seq_sharded(smesh)
 
         def _synth(variables, ids, lens, sids):
             return self.model.apply(
@@ -518,6 +543,7 @@ class OneStageTTS(_TTSBase):
                 ids,
                 lens,
                 self.max_mel_frames,
+                seq_sharding=self._seq_sharding,
                 method=self.model.inference,
                 rngs={"noise": jax.random.PRNGKey(0)},
             )

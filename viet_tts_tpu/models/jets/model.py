@@ -255,11 +255,15 @@ class JETS(nn.Module):
         max_mel_frames: int,
         feats: Optional[jnp.ndarray] = None,
         d_control: float = 1.0,
+        seq_sharding=None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """One fused text->waveform graph (`jets/model.py:645-746`).
 
         Returns (wav (B, max_mel_frames*upsample), wav_lengths).
         GST needs a reference mel; zeros are used when none is given.
+        ``seq_sharding`` (a ``NamedSharding`` over (B, T, C), see
+        ``parallel.mesh.seq_sharded``) time-shards the vocoder input so
+        GSPMD spatially partitions the decode over the mesh.
         """
         T_text = text.shape[1]
         text_pad = pad_mask_from_lengths(text_lengths, T_text)
@@ -288,6 +292,8 @@ class JETS(nn.Module):
             hs = length_regulator(hs, d_outs.astype(jnp.int32), max_mel_frames)
 
         zs, _ = self.decoder(hs, mel_valid, train=False)
+        if seq_sharding is not None:
+            zs = jax.lax.with_sharding_constraint(zs, seq_sharding)
         wav = self.generator(zs)[..., 0]
         wav_lengths = mel_lens * self.upsample_factor
         return wav, wav_lengths

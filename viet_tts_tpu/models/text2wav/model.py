@@ -138,8 +138,11 @@ class Text2Wav(nn.Module):
         d_control: float = 1.0,
         p_control: float = 1.0,
         e_control: float = 1.0,
+        seq_sharding=None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """Fused text -> waveform; returns (wav (B, T*up), wav_lengths)."""
+        """Fused text -> waveform; returns (wav (B, T*up), wav_lengths).
+        ``seq_sharding`` time-shards the mel handed to the vocoder
+        (sequence-parallel serving, see ``parallel.mesh.seq_sharded``)."""
         mel, mel_lens, _ = self.text2mel.inference(
             sids=sids,
             text=text,
@@ -151,5 +154,9 @@ class Text2Wav(nn.Module):
             p_control=p_control,
             e_control=e_control,
         )
+        if seq_sharding is not None:
+            import jax
+
+            mel = jax.lax.with_sharding_constraint(mel, seq_sharding)
         wav = self.mel2wav(mel)[..., 0]
         return wav, mel_lens * self.upsample_factor

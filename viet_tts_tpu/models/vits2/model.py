@@ -236,9 +236,12 @@ class VITS2(nn.Module):
         d_control: float = 1.0,
         noise_scale: float = 0.0,
         noise_scale_w: float = 0.0,
+        seq_sharding=None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """SDP-reverse -> ceil durations -> path -> flow reverse -> decode
-        (`vits2/generator.py:237-268`). Returns (wav, wav_lengths)."""
+        (`vits2/generator.py:237-268`). Returns (wav, wav_lengths).
+        ``seq_sharding`` time-shards the decoder input (sequence-parallel
+        serving, see ``parallel.mesh.seq_sharded``)."""
         g = self.emb_g(sids)
         x, m_p, logs_p, x_mask = self.enc_p(text, text_lengths, g=g, train=False)
         if self.use_sdp:
@@ -265,5 +268,8 @@ class VITS2(nn.Module):
             * noise_scale
         )
         z = self.flow(z_p, y_mask, g=g, reverse=True, train=False)
-        wav = self.dec(z * y_mask, g=g)[..., 0]
+        z = z * y_mask
+        if seq_sharding is not None:
+            z = jax.lax.with_sharding_constraint(z, seq_sharding)
+        wav = self.dec(z, g=g)[..., 0]
         return wav, feats_lengths * self.upsample_factor

@@ -9,6 +9,7 @@ from viet_tts_tpu.parallel.mesh import (
     make_mesh,
     pad_batch_to_devices,
     replicated,
+    seq_sharded,
     shard_batch,
     shard_train_step,
 )
@@ -22,6 +23,7 @@ __all__ = [
     "make_mesh",
     "pad_batch_to_devices",
     "replicated",
+    "seq_sharded",
     "shard_batch",
     "shard_train_step",
 ]

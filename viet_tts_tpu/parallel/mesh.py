@@ -12,6 +12,7 @@ without changing call sites.
 
 from __future__ import annotations
 
+import re
 from typing import Any, Optional
 
 import jax
@@ -41,6 +42,21 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def data_sharded(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def seq_sharded(mesh: Mesh) -> NamedSharding:
+    """(B, T, C) sharding that splits the TIME axis over the mesh.
+
+    Sequence-parallel serving: the vocoder turns T mel frames into T*256
+    samples, so its (B, T*r, C) activations dwarf everything else in the
+    graph (PERF_NOTES.md §1). Constraining the vocoder input with this
+    sharding makes GSPMD spatially partition every conv along time —
+    halo exchanges over ICI at each kernel boundary, math unchanged —
+    which is the latency lever when a single long utterance can't fill
+    the batch axis. Reuses the 1-D mesh's ``data`` axis: batch-sharding
+    and time-sharding are alternative uses of the same serving mesh.
+    """
+    return NamedSharding(mesh, P(None, DATA_AXIS, None))
 
 
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
@@ -97,10 +113,12 @@ def pad_batch_to_devices(batch: Any, n_devices: int) -> Any:
 # OUTPUT features (each model shard computes a slice of heads / FFN inner
 # units), the following row-parallel layer shards its INPUT features, and
 # GSPMD inserts one all-reduce per pair over ICI. Names cover the FFT,
-# espnet-transformer/conformer, VITS2 and Matcha attention stacks; unlisted
-# parameters (embeddings, norms, depthwise convs, biases) stay replicated —
-# GSPMD keeps the math identical either way, the rules only shape the
-# collective pattern.
+# espnet-transformer/conformer, VITS2 and Matcha attention stacks, plus the
+# HiFiGAN-style vocoder MRF pairs (see ``_VOCODER_PAIR``); unlisted
+# parameters (embeddings — the 131-symbol table is too small to matter —
+# norms, depthwise convs, discriminator conv chains, biases) stay
+# replicated — GSPMD keeps the math identical either way, the rules only
+# shape the collective pattern.
 _TP_COL_MODULES = frozenset({
     "w_qs", "w_ks", "w_vs", "linear_q", "linear_k", "linear_v", "linear_pos",
     "query_proj", "key_proj", "value_proj", "pos_proj", "w_1",
@@ -111,6 +129,20 @@ _TP_ROW_MODULES = frozenset({
     "fc", "linear_out", "out_proj", "w_2", "pointwise_conv2", "pw_conv2",
     "proj_out", "to_out", "conv_o",
 })
+
+# Vocoder MRF residual pairs: ``conv1_{k}`` -> LReLU -> ``conv2_{k}`` ->
+# residual add, in both the HiFiGAN generator
+# (``models/hifigan/generator.py:109`` -> params ``block_i_j/conv1_k/conv``)
+# and the VITS2 decoder resblocks (``models/vits2/sublayers.py:106`` ->
+# ``res_i_j/conv1_k/conv``). conv1 is column-parallel (output channels),
+# conv2 row-parallel (input channels): one all-reduce per dilation step,
+# on the upsampled (B, T, C) activation, before the replicated residual
+# add. The MRF convs are ~82% of the JETS serving roofline (PERF_NOTES.md
+# table 1), so these are the rules that make TP bite on the GAN families.
+# The duration-predictor's ``conv_1``/``conv_2`` (underscore-digit) do NOT
+# match. WeightNorm scales/biases stay replicated: per-output-channel
+# vectors read shard-locally under GSPMD with no comm.
+_VOCODER_PAIR = re.compile(r"^conv([12])_\d+$")
 
 
 def param_partition_specs(params: Any, model_parallel: int) -> Any:
@@ -135,6 +167,11 @@ def param_partition_specs(params: Any, model_parallel: int) -> Any:
             return "col"
         if module in _TP_ROW_MODULES or module.endswith("_w_2"):
             return "row"
+        # vocoder MRF pairs: kernel path is .../conv{1,2}_k/conv/kernel
+        if module == "conv":
+            m = _VOCODER_PAIR.match(parent)
+            if m:
+                return "col" if m.group(1) == "1" else "row"
         # FS2-conformer FeedForwardModule: ff1/ff2 wrap two auto-named
         # Dense layers (in-projection then out-projection)
         if parent in ("ff1", "ff2"):
