@@ -1113,6 +1113,91 @@ def stage_mcd_vits2(n_mcep=13):
     return {"mcd_vs_reference_vits2": float(mcd(m_j, m_t, n_mcep))}
 
 
+def stage_mcd_matcha(n_mcep=13, n_timesteps=10):
+    """Architecture-parity MCD probe for the last family without one:
+    import a seeded reference MatchaTTS at the shipped config, run both
+    deterministic (temperature=0) Euler-ODE inferences on identical
+    inputs, report MCD between the mel outputs directly (Matcha is
+    mel-only; reference inference `matcha/model.py:201-250`)."""
+    import copy
+
+    import torch
+    import jax
+    import jax.numpy as jnp
+
+    from tests.test_torch_import import MATCHA_STATS, _load_reference_matcha
+    from viet_tts_tpu.eval.mcd import mcd
+    from viet_tts_tpu.models.matcha import MatchaTTS
+    from viet_tts_tpu.models.matcha.model import fix_len_compatibility
+    from viet_tts_tpu.train.torch_import import import_matcha
+
+    conf = _conf("matcha")
+    hp = copy.deepcopy(conf["models"]["matcha"])
+    TorchMatcha = _load_reference_matcha()
+    torch.manual_seed(0)
+    tm = TorchMatcha(
+        n_symbols=131, n_speakers=2, n_channels=80,
+        hparams=copy.deepcopy(hp), stats=dict(MATCHA_STATS), n_accents=2,
+    ).eval()
+    fm = MatchaTTS(
+        n_symbols=131, n_channels=80, hparams=copy.deepcopy(hp),
+        stats=dict(MATCHA_STATS), n_speakers=2, n_accents=2,
+    )
+    # random-init duration predictors round everything to zero frames;
+    # bias the log-duration head to ~2 frames/token (as the parity test)
+    tm.duration_predictor.linear.bias.data.fill_(1.2)
+    variables = import_matcha(tm.state_dict(), hp)
+
+    for seed in range(3, 13):
+        rng = np.random.RandomState(seed)
+        text = rng.randint(1, 131, (1, 12))
+        lens = np.asarray([12])
+        sids = np.asarray([1])
+        aids = np.asarray([0])
+        # shipped config: use_cvae=True -> the accent/speaker CVAE encodes a
+        # reference mel (deterministic means at inference)
+        ref_mel = rng.randn(1, 40, 80).astype(np.float32)
+        try:
+            with torch.no_grad():
+                t_mel, t_lens = tm.inference(
+                    torch.from_numpy(text).long(),
+                    torch.from_numpy(lens).long(),
+                    sids=torch.from_numpy(sids).long(),
+                    aids=torch.from_numpy(aids).long(),
+                    feats=torch.from_numpy(ref_mel.copy()),
+                    n_timesteps=n_timesteps,
+                    temperature=0.0,
+                )
+        except RuntimeError:
+            continue  # degenerate all-zero predicted durations
+        if int(t_lens.max()) < 8:
+            continue
+        t_mel = t_mel.transpose(1, 2).numpy()  # (B, T, n_mels)
+        budget = fix_len_compatibility(int(t_lens.max()))
+        j_mel, j_lens, _ = fm.apply(
+            variables,
+            jnp.asarray(sids),
+            jnp.asarray(text),
+            jnp.asarray(lens),
+            int(budget),
+            feats=jnp.asarray(ref_mel),
+            aids=jnp.asarray(aids),
+            n_timesteps=n_timesteps,
+            temperature=0.0,
+            method=fm.inference,
+            rngs={"noise": jax.random.PRNGKey(0)},
+        )
+        if not np.array_equal(np.asarray(j_lens), t_lens.numpy()):
+            return {"mcd_vs_reference_matcha": -1.0}  # length drift: loud
+        L = int(t_lens[0])
+        return {
+            "mcd_vs_reference_matcha": mcd(
+                np.asarray(j_mel)[:, :L], t_mel[:, :L], n_mcep
+            )
+        }
+    return {}
+
+
 def stage_input_pipeline():
     """Host data-pipeline throughput (VERDICT r2 item 9): time the bucketed
     batcher (C++ collate underneath) over a synthetic cached dataset; the
@@ -1175,6 +1260,7 @@ STAGES = {
     "mcd": stage_mcd,
     "mcd_jets": stage_mcd_jets,
     "mcd_vits2": stage_mcd_vits2,
+    "mcd_matcha": stage_mcd_matcha,
     "input_pipeline": stage_input_pipeline,
 }
 
@@ -1193,8 +1279,8 @@ PROCESS_GROUPS = [
     ("cpu_anchor", ["cpu_anchor"], 600, "cpu-torch"),
     # cheap when warm (~30s) and carries the mcd_* keys -> before the big
     # TPU groups so a tight driver timeout still captures them
-    ("cpu_eval", ["mcd", "mcd_jets", "mcd_vits2", "input_pipeline"], 1200,
-     "cpu-jax"),
+    ("cpu_eval", ["mcd", "mcd_jets", "mcd_vits2", "mcd_matcha",
+                  "input_pipeline"], 1500, "cpu-jax"),
     # jets_b64 compiles two fresh B=64 executables (fp32 + bf16): the most
     # compile-expensive stage in the suite. It gets its OWN group so a slow
     # remote compile can only forfeit itself (r3e: it timed out the whole
