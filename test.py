@@ -42,6 +42,9 @@ def build_arguments():
                         "(single-utterance latency lever)")
     p.add_argument("--data_parallel", action="store_true",
                    help="shard the batch over all visible devices")
+    p.add_argument("--pipeline_parallel", action="store_true",
+                   help="two-stage only: acoustic stage on device 0, "
+                        "vocoder on device 1 (overlaps successive batches)")
     p.add_argument("--d_control", type=float, default=1.0)
     p.add_argument("--p_control", type=float, default=1.0)
     p.add_argument("--e_control", type=float, default=1.0)
@@ -74,6 +77,7 @@ def main():
             half=args.half,
             data_parallel=args.data_parallel,
             sequence_parallel=args.sequence_parallel,
+            pipeline_parallel=args.pipeline_parallel,
         )
         waves = nnet(
             texts,
@@ -85,6 +89,12 @@ def main():
         )
     else:
         assert args.checkpoint, "one-stage synthesis needs -c checkpoint"
+        if args.pipeline_parallel:
+            raise SystemExit(
+                "--pipeline_parallel needs a stage boundary; one-stage "
+                "models are a single fused graph (use --sequence_parallel "
+                "or --data_parallel instead)"
+            )
         nnet = OneStageTTS(
             args.checkpoint,
             model_type=args.model_type,

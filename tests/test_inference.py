@@ -176,3 +176,27 @@ def test_two_stage_sequence_parallel(trained_ckpts):
     ref = TwoStageTTS(ac_out, voc_out, max_mel_frames=256)
     ref_waves = ref(["xin chào các bạn"], speaker="hn_spk", accent="hn")
     np.testing.assert_allclose(waves[0], ref_waves[0], atol=2e-5)
+
+
+def test_two_stage_pipeline_parallel(trained_ckpts):
+    """Pipeline-parallel serving: acoustic stage committed to device 0,
+    vocoder to device 1 (async dispatch overlaps successive batches);
+    waveforms identical to the single-device graph."""
+    import jax
+
+    from viet_tts_tpu.infer.api import TwoStageTTS
+
+    ac_out, voc_out = trained_ckpts
+    tts = TwoStageTTS(
+        ac_out, voc_out, max_mel_frames=256, pipeline_parallel=True
+    )
+    assert tts._pp_voc_device is not None
+    ac_devs = jax.tree_util.tree_leaves(tts.acoustic_vars)[0].devices()
+    voc_devs = jax.tree_util.tree_leaves(tts.vocoder_vars)[0].devices()
+    assert ac_devs != voc_devs
+    texts = ["xin chào các bạn", "hôm nay trời đẹp"]
+    waves = tts(texts, speaker="hn_spk", accent="hn")
+    ref = TwoStageTTS(ac_out, voc_out, max_mel_frames=256)
+    ref_waves = ref(texts, speaker="hn_spk", accent="hn")
+    for w, r in zip(waves, ref_waves):
+        np.testing.assert_allclose(w, r, atol=2e-5)

@@ -215,6 +215,7 @@ class TwoStageTTS(_TTSBase):
         half: bool = False,
         data_parallel: bool = False,
         sequence_parallel: bool = False,
+        pipeline_parallel: bool = False,
         fused_vocoder: bool = False,
         packed_vocoder: bool | None = None,
     ):
@@ -292,12 +293,31 @@ class TwoStageTTS(_TTSBase):
             self.acoustic_vars = jax.device_put(self.acoustic_vars, rep)
             self.vocoder_vars = jax.device_put(self.vocoder_vars, rep)
             self._seq_sharding = seq_sharded(smesh)
+        # pipeline-parallel serving: the acoustic stage committed to one
+        # device, the vocoder to another; dispatch is async, so successive
+        # batches (synthesize_long / stream_long sentence batches) overlap —
+        # stage 1 of batch i+1 runs while stage 2 of batch i decodes
+        self._pp_voc_device = None
+        if pipeline_parallel and len(jax.devices()) > 1:
+            assert not (data_parallel or sequence_parallel), (
+                "pipeline_parallel splits stages across devices; combine "
+                "with data_parallel/sequence_parallel is not supported"
+            )
+            d0, d1 = jax.devices()[0], jax.devices()[1]
+            self.acoustic_vars = jax.device_put(self.acoustic_vars, d0)
+            self.vocoder_vars = jax.device_put(self.vocoder_vars, d1)
+            self._pp_voc_device = d1
         # variables passed as jit args (NOT closure constants — closing over
         # the parameter pytree would bake it into the HLO as literals)
         self._synth = jax.jit(
             self._synth_impl,
             static_argnames=("d_control", "p_control", "e_control"),
         )
+        self._synth_ac = jax.jit(
+            self._acoustic_impl,
+            static_argnames=("d_control", "p_control", "e_control"),
+        )
+        self._synth_voc = jax.jit(self._vocoder_impl)
 
     # -- weights --------------------------------------------------------
     def _load_weights(self, acoustic_ckpt: str, vocoder_ckpt: str):
@@ -343,8 +363,8 @@ class TwoStageTTS(_TTSBase):
         self.skipped = {"acoustic": skipped_a, "vocoder": skipped_v}
 
     # -- synthesis ------------------------------------------------------
-    def _synth_impl(
-        self, acoustic_vars, vocoder_vars, ids, lens, sids, aids, feats,
+    def _acoustic_impl(
+        self, acoustic_vars, ids, lens, sids, aids, feats,
         d_control=1.0, p_control=1.0, e_control=1.0,
     ):
         import jax
@@ -363,10 +383,25 @@ class TwoStageTTS(_TTSBase):
             method=self.acoustic.inference,
             rngs={"noise": jax.random.PRNGKey(0)},  # Matcha ODE start noise
         )
+        return mel, mel_lens
+
+    def _vocoder_impl(self, vocoder_vars, mel):
+        return self.vocoder.apply(vocoder_vars, mel)[..., 0]
+
+    def _synth_impl(
+        self, acoustic_vars, vocoder_vars, ids, lens, sids, aids, feats,
+        d_control=1.0, p_control=1.0, e_control=1.0,
+    ):
+        import jax
+
+        mel, mel_lens = self._acoustic_impl(
+            acoustic_vars, ids, lens, sids, aids, feats,
+            d_control=d_control, p_control=p_control, e_control=e_control,
+        )
         if self._seq_sharding is not None:
             mel = jax.lax.with_sharding_constraint(mel, self._seq_sharding)
-        wav = self.vocoder.apply(vocoder_vars, mel)
-        return mel, mel_lens, wav[..., 0]
+        wav = self._vocoder_impl(vocoder_vars, mel)
+        return mel, mel_lens, wav
 
     def __call__(
         self,
@@ -404,10 +439,22 @@ class TwoStageTTS(_TTSBase):
             inputs = shard_batch(
                 self.mesh, pad_batch_to_devices(inputs, self.mesh.devices.size)
             )
-        _, mel_lens, wav = self._synth(
-            self.acoustic_vars, self.vocoder_vars, *inputs,
-            d_control=d_control, p_control=p_control, e_control=e_control,
-        )
+        if self._pp_voc_device is not None:
+            import jax
+
+            mel, mel_lens = self._synth_ac(
+                self.acoustic_vars, *inputs,
+                d_control=d_control, p_control=p_control, e_control=e_control,
+            )
+            # async device-to-device hop: the next batch's acoustic stage
+            # dispatches on device 0 while this one decodes on device 1
+            mel = jax.device_put(mel, self._pp_voc_device)
+            wav = self._synth_voc(self.vocoder_vars, mel)
+        else:
+            _, mel_lens, wav = self._synth(
+                self.acoustic_vars, self.vocoder_vars, *inputs,
+                d_control=d_control, p_control=p_control, e_control=e_control,
+            )
         wav = np.asarray(wav, np.float32)
         mel_lens = np.asarray(mel_lens)
         return [wav[i, : int(mel_lens[i]) * self.hop] for i in range(B)]
