@@ -134,6 +134,12 @@ class VitsEncoder(nn.Module):
     window_size: Optional[int] = 4
     gin_channels: int = 0
     cond_layer_idx: int = 2
+    # per-layer gradient rematerialisation (hparams["remat"]): only the
+    # layer INPUT is saved; the (B, h, T, T) rel-pos attention tensors are
+    # recomputed in the backward sweep instead of round-tripping HBM.
+    # Lifted over a method-level function so the inlined attn_i/norm*_i/
+    # ffn_i parameter names (and importer compatibility) are unchanged.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, x_mask, g=None, train: bool = False):
@@ -141,6 +147,31 @@ class VitsEncoder(nn.Module):
         m = x_mask[..., 0]
         attn_mask = m[:, :, None] * m[:, None, :]
         x = x * x_mask
+
+        def layer(mdl, x, attn_mask, x_mask, i, train):
+            y = RelPosMultiHeadAttention(
+                mdl.hidden_channels,
+                mdl.hidden_channels,
+                mdl.n_heads,
+                mdl.p_dropout,
+                mdl.window_size,
+                name=f"attn_{i}",
+            )(x, x, attn_mask, train=train)
+            y = nn.Dropout(mdl.p_dropout)(y, deterministic=not train)
+            x = nn.LayerNorm(epsilon=1e-5, name=f"norm1_{i}")(x + y)
+            y = MaskedFFN(
+                mdl.filter_channels,
+                mdl.hidden_channels,
+                mdl.kernel_size,
+                mdl.p_dropout,
+                name=f"ffn_{i}",
+            )(x, x_mask, train=train)
+            y = nn.Dropout(mdl.p_dropout)(y, deterministic=not train)
+            return nn.LayerNorm(epsilon=1e-5, name=f"norm2_{i}")(x + y)
+
+        layer_fn = (
+            nn.remat(layer, static_argnums=(4, 5)) if self.remat else layer
+        )
         for i in range(self.n_layers):
             if (
                 i == self.cond_layer_idx
@@ -151,25 +182,7 @@ class VitsEncoder(nn.Module):
                     :, None, :
                 ]
                 x = x * x_mask
-            y = RelPosMultiHeadAttention(
-                self.hidden_channels,
-                self.hidden_channels,
-                self.n_heads,
-                self.p_dropout,
-                self.window_size,
-                name=f"attn_{i}",
-            )(x, x, attn_mask, train=train)
-            y = nn.Dropout(self.p_dropout)(y, deterministic=not train)
-            x = nn.LayerNorm(epsilon=1e-5, name=f"norm1_{i}")(x + y)
-            y = MaskedFFN(
-                self.filter_channels,
-                self.hidden_channels,
-                self.kernel_size,
-                self.p_dropout,
-                name=f"ffn_{i}",
-            )(x, x_mask, train=train)
-            y = nn.Dropout(self.p_dropout)(y, deterministic=not train)
-            x = nn.LayerNorm(epsilon=1e-5, name=f"norm2_{i}")(x + y)
+            x = layer_fn(self, x, attn_mask, x_mask, i, train)
         return x * x_mask
 
 

@@ -42,6 +42,7 @@ class TextEncoder(nn.Module):
     kernel_size: int
     p_dropout: float
     gin_channels: int = 0
+    remat: bool = False  # per-layer gradient remat in the encoder stack
 
     @nn.compact
     def __call__(self, text, text_lengths, g=None, train: bool = False):
@@ -63,6 +64,7 @@ class TextEncoder(nn.Module):
             self.kernel_size,
             self.p_dropout,
             gin_channels=self.gin_channels,
+            remat=self.remat,
             name="encoder",
         )(x * x_mask, x_mask, g=g if self.gin_channels > 0 else None, train=train)
         stats = nn.Conv(self.out_channels * 2, (1,), name="proj")(x) * x_mask

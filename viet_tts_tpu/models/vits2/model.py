@@ -88,6 +88,7 @@ class VITS2(nn.Module):
             kernel_size=hp["kernel_size"],
             p_dropout=hp["p_dropout"],
             gin_channels=gin if use_spk_enc else 0,
+            remat=bool(hp.get("remat", False)),
         )
         self.enc_q = PosteriorEncoder(
             in_channels=spec_ch,
