@@ -40,6 +40,12 @@ from viet_tts_tpu.train.state import (
 from viet_tts_tpu.utils.logging import StepTimer, TensorLogger, text_colors
 
 log = logging.getLogger("viet_tts_tpu")
+
+
+class Preempted(BaseException):
+    """Raised by the SIGTERM handler (preemption notice). Derives from
+    BaseException so ordinary `except Exception` guards in step code can't
+    swallow the shutdown request."""
 logging.basicConfig(level=logging.INFO, format="%(asctime)s | %(message)s")
 
 
@@ -168,25 +174,52 @@ class BaseTrainer:
         log.info(f"resumed from {path} (epoch {self.epoch}, iter {self.iter})")
 
     # -- loop -----------------------------------------------------------
+    def _install_preemption_handler(self):
+        """SIGTERM (the TPU-pod / batch-scheduler preemption signal) raises
+        `Preempted` between Python bytecodes — i.e. between train steps on
+        the host side, never mid-rebind — so `run()` can write one last
+        checkpoint inside the grace window and exit cleanly. The reference
+        has no preemption story (SURVEY §5.3); resume-by-scan picks the
+        preemption checkpoint up on restart."""
+        import signal
+
+        def _raise(signum, frame):
+            raise Preempted()
+
+        try:
+            self._prev_sigterm = signal.signal(signal.SIGTERM, _raise)
+        except ValueError:  # not the main thread (e.g. under a test runner)
+            self._prev_sigterm = None
+
     def run(self):
         log.info(f"{self.task}: start training on {jax.devices()[0].platform}")
+        self._install_preemption_handler()
         if getattr(self.args, "profile", False):
             from viet_tts_tpu.utils.profiling import trace
 
             with trace(os.path.join(self.args.output_folder, "log/profile")):
                 self.train_one_epoch()
             log.info("profiler trace written to log/profile")
-        while self.iter < self.args.max_iter:
-            t0 = time.time()
-            self.train_one_epoch()
-            self.valid_one_epoch()
-            self._log_histograms()
-            self.save_model()
+        try:
+            while self.iter < self.args.max_iter:
+                t0 = time.time()
+                self.train_one_epoch()
+                self.valid_one_epoch()
+                self._log_histograms()
+                self.save_model()
+                log.info(
+                    f"Epoch {self.epoch} done in {time.time() - t0:.1f}s "
+                    f"(iter {self.iter}/{self.args.max_iter})"
+                )
+                self.epoch += 1
+        except Preempted:
             log.info(
-                f"Epoch {self.epoch} done in {time.time() - t0:.1f}s "
-                f"(iter {self.iter}/{self.args.max_iter})"
+                f"SIGTERM at epoch {self.epoch} iter {self.iter}: writing "
+                "preemption checkpoint"
             )
-            self.epoch += 1
+            self.save_model()
+            log.info("preemption checkpoint saved; exiting cleanly")
+            return
         log.info("training complete")
 
     def _log_histograms(self):
