@@ -140,11 +140,90 @@ def test_fs2_sharded_steps_iterate(mesh):
     assert totals[-1] < totals[0], totals
 
 
+def test_fs2_zero1_sharded_optimizer_matches_single_device(mesh):
+    """ZeRO-1: AdamW moments sharded over ``data`` keep the step
+    loss-identical to the unsharded step, the moments actually live
+    sharded, and the layout survives donated step updates."""
+    from viet_tts_tpu.parallel.mesh import shard_state_zero1
+    from viet_tts_tpu.train.steps import make_fs2_train_step
+
+    n = mesh.devices.size
+    model, criterion, make_state, batch = _fs2_setup(n)
+    key = jax.random.PRNGKey(0)
+
+    plain = jax.jit(make_fs2_train_step(model, criterion))
+    state_ref, metrics_ref = plain(make_state(), batch, key)
+
+    state_z, shardings = shard_state_zero1(mesh, make_state())
+    # the moments must actually be distributed, not replicated
+    flat = jax.tree_util.tree_leaves(state_z.opt_state)
+    big = [x for x in flat if hasattr(x, "sharding") and np.size(x) >= n]
+    assert big, "no shardable optimizer-state leaves"
+    assert any(not x.sharding.is_fully_replicated for x in big), (
+        "ZeRO-1 left every optimizer-state leaf replicated")
+
+    step_z = jax.jit(
+        make_fs2_train_step(model, criterion),
+        donate_argnums=(0,),
+        out_shardings=(shardings, None),
+    )
+    sharded = shard_batch(mesh, batch)
+    state_z, metrics_z = step_z(state_z, sharded, key)
+    for k in metrics_ref:
+        np.testing.assert_allclose(
+            float(metrics_z[k]), float(metrics_ref[k]),
+            rtol=1e-4, atol=1e-6, err_msg=k,
+        )
+    # layout preserved after the donated update
+    flat = jax.tree_util.tree_leaves(state_z.opt_state)
+    big = [x for x in flat if hasattr(x, "sharding") and np.size(x) >= n]
+    assert any(not x.sharding.is_fully_replicated for x in big)
+    # second step (feeds through updated params + moments) still agrees
+    _, metrics_ref2 = plain(state_ref, batch, jax.random.fold_in(key, 1))
+    _, metrics_z2 = step_z(state_z, sharded, jax.random.fold_in(key, 1))
+    np.testing.assert_allclose(
+        float(metrics_z2["total"]), float(metrics_ref2["total"]), rtol=2e-3
+    )
+
+
 def test_jets_gan_sharded_step(mesh):
     """One sharded JETS adversarial step (generator + discriminator
     updates) runs on the mesh with finite losses (and, with >=4 devices,
     the tp+dp variant inside the dryrun asserts loss-identity)."""
     ge._dryrun_jets_gan(mesh, mesh.devices.size)
+
+
+def test_jets_gan_zero1_matches_single_device(mesh):
+    """ZeRO-1 on BOTH adversarial optimizers (gen + disc): losses identical
+    to the unsharded step and both moment trees actually sharded."""
+    from viet_tts_tpu.parallel.mesh import shard_state_zero1
+
+    n = mesh.devices.size
+    step, make_gen_state, make_disc_state, batch = ge._jets_gan_setup(n * 2)
+    raw = step.__wrapped__  # re-jit with pinned ZeRO-1 output layouts
+    key = jax.random.PRNGKey(0)
+    _, _, metrics_ref = step(make_gen_state(), make_disc_state(), batch, key)
+
+    gen_z, gen_sh = shard_state_zero1(mesh, make_gen_state())
+    disc_z, disc_sh = shard_state_zero1(mesh, make_disc_state())
+    for st in (gen_z, disc_z):
+        big = [x for x in jax.tree_util.tree_leaves(st.opt_state)
+               if hasattr(x, "sharding") and np.size(x) >= n]
+        assert any(not x.sharding.is_fully_replicated for x in big)
+    step_z = jax.jit(
+        raw, donate_argnums=(0, 1), out_shardings=(gen_sh, disc_sh, None)
+    )
+    gen_z, disc_z, metrics_z = step_z(
+        gen_z, disc_z, shard_batch(mesh, batch), key
+    )
+    for k in metrics_ref:
+        np.testing.assert_allclose(
+            float(metrics_z[k]), float(metrics_ref[k]),
+            rtol=2e-4, atol=1e-6, err_msg=k,
+        )
+    big = [x for x in jax.tree_util.tree_leaves(gen_z.opt_state)
+           if hasattr(x, "sharding") and np.size(x) >= n]
+    assert any(not x.sharding.is_fully_replicated for x in big)
 
 
 def test_jets_gan_tensor_parallel_matches_single_device():

@@ -11,7 +11,9 @@ from viet_tts_tpu.parallel.mesh import (
     replicated,
     seq_sharded,
     shard_batch,
+    shard_state_zero1,
     shard_train_step,
+    zero1_partition_specs,
 )
 
 __all__ = [
@@ -25,5 +27,7 @@ __all__ = [
     "replicated",
     "seq_sharded",
     "shard_batch",
+    "shard_state_zero1",
     "shard_train_step",
+    "zero1_partition_specs",
 ]

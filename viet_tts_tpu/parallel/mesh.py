@@ -106,6 +106,54 @@ def pad_batch_to_devices(batch: Any, n_devices: int) -> Any:
 
 
 # ---------------------------------------------------------------------------
+# ZeRO-1: optimizer state sharded over the data axis
+# ---------------------------------------------------------------------------
+
+
+def zero1_partition_specs(tree: Any, n_shards: int) -> Any:
+    """ZeRO-1 ``PartitionSpec`` tree: each leaf split over ``data`` along
+    its first ``n_shards``-divisible axis; scalars and indivisible leaves
+    stay replicated.
+
+    The reference trains single-GPU with whole AdamW moments resident
+    (`src/trainer/base.py:19,53`); on a TPU mesh the moments are pure
+    per-parameter elementwise state, so sharding them over ``data`` cuts
+    their HBM footprint and update traffic by the mesh size while GSPMD
+    keeps the math identical (the gradient reduction turns into
+    reduce-scatter + all-gather of the same total bytes).
+    """
+
+    def spec(leaf):
+        shape = np.shape(leaf)
+        for ax, d in enumerate(shape):
+            if d >= n_shards and d % n_shards == 0:
+                return P(*([None] * ax + [DATA_AXIS]))
+        return P()
+
+    return jax.tree_util.tree_map(spec, tree)
+
+
+def shard_state_zero1(mesh: Mesh, state: Any):
+    """Place a flax ``TrainState`` ZeRO-1 style: params and batch statistics
+    replicated, optimizer state sharded over ``data``.
+
+    Returns ``(placed_state, sharding_tree)``; pass ``sharding_tree`` as the
+    state slot of the train step's ``out_shardings`` so the updated state
+    keeps the layout across donated steps (otherwise GSPMD is free to emit a
+    replicated opt state and the placement decays after one step).
+    """
+    n = int(mesh.shape[DATA_AXIS])
+    repl = replicated(mesh)
+    shardings = jax.tree_util.tree_map(lambda _: repl, state)
+    opt_shardings = jax.tree_util.tree_map(
+        lambda s: NamedSharding(mesh, s),
+        zero1_partition_specs(state.opt_state, n),
+    )
+    shardings = shardings.replace(opt_state=opt_shardings)
+    return jax.device_put(state, shardings), shardings
+
+
+# ---------------------------------------------------------------------------
 # Tensor parallelism (2-D data x model mesh)
 # ---------------------------------------------------------------------------
 

@@ -35,7 +35,7 @@ from viet_tts_tpu.train.state import (
     init_on_cpu,
     set_learning_rate,
 )
-from viet_tts_tpu.train.trainer import BaseTrainer, log
+from viet_tts_tpu.train.trainer import BaseTrainer, jit_train_step, log
 
 
 def make_hifigan_train_step(gen, disc, mel_loss: MelSpectrogramLoss, lambdas=None):
@@ -280,9 +280,11 @@ class HiFiGANTrainer(BaseTrainer):
         )
         self.try_resume()
         self.try_resume_discriminator()
-        self.train_step = jax.jit(
+        self.train_step, (self.state, self.disc_state) = jit_train_step(
+            self.conf,
+            self.mesh,
             make_hifigan_train_step(self.model, self.discriminator, self.mel_loss),
-            donate_argnums=(0, 1),
+            [self.state, self.disc_state],
         )
 
         def _valid(gen_params, batch):
@@ -507,7 +509,9 @@ class JETSTrainer(BaseTrainer):
         )
         self.try_resume()
         HiFiGANTrainer.try_resume_discriminator(self)
-        self.train_step = jax.jit(
+        self.train_step, (self.state, self.disc_state) = jit_train_step(
+            self.conf,
+            self.mesh,
             make_jets_train_step(
                 self.model,
                 self.discriminator,
@@ -515,7 +519,7 @@ class JETSTrainer(BaseTrainer):
                 self.lambdas,
                 self.conf["audio"]["stft"]["hop_length"],
             ),
-            donate_argnums=(0, 1),
+            [self.state, self.disc_state],
         )
 
         def _valid(gen_params, batch_stats, batch, rng):

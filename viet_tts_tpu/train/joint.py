@@ -35,7 +35,7 @@ from viet_tts_tpu.train.state import (
     init_on_cpu,
     set_learning_rate,
 )
-from viet_tts_tpu.train.trainer import BaseTrainer, log
+from viet_tts_tpu.train.trainer import BaseTrainer, jit_train_step, log
 
 
 def make_joint_train_step(model, disc, mel_loss, criterion, version, hop):
@@ -405,7 +405,9 @@ class JointTrainer(BaseTrainer):
         HiFiGANTrainer.try_resume_discriminator(self)
 
         hop = self.conf["audio"]["stft"]["hop_length"]
-        self.train_step = jax.jit(
+        self.train_step, (self.state, self.disc_state) = jit_train_step(
+            self.conf,
+            self.mesh,
             make_joint_train_step(
                 self.model,
                 self.discriminator,
@@ -414,7 +416,7 @@ class JointTrainer(BaseTrainer):
                 self.version,
                 hop,
             ),
-            donate_argnums=(0, 1),
+            [self.state, self.disc_state],
         )
 
     def _warm_start_submodule(self, name: str, path: str):

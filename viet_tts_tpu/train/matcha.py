@@ -23,7 +23,7 @@ from viet_tts_tpu.train.state import (
     init_on_cpu,
     set_learning_rate,
 )
-from viet_tts_tpu.train.trainer import BaseTrainer, log
+from viet_tts_tpu.train.trainer import BaseTrainer, jit_train_step, log
 
 
 class MelNormalizedDataset:
@@ -225,8 +225,11 @@ class MatchaTrainer(BaseTrainer):
             batch_stats=self.variables.get("batch_stats", {}),
         )
         self.try_resume()
-        self.train_step = jax.jit(
-            make_matcha_train_step(self.model, self.criterion), donate_argnums=(0,)
+        self.train_step, (self.state,) = jit_train_step(
+            self.conf,
+            self.mesh,
+            make_matcha_train_step(self.model, self.criterion),
+            [self.state],
         )
         self.valid_step = jax.jit(make_matcha_valid_step(self.model, self.criterion))
 

@@ -42,6 +42,32 @@ from viet_tts_tpu.utils.logging import StepTimer, TensorLogger, text_colors
 log = logging.getLogger("viet_tts_tpu")
 
 
+def jit_train_step(conf, mesh, step_fn, states):
+    """jit a train step whose leading args/outputs are the given
+    TrainStates (then batch/rng..., then a metrics dict output).
+
+    Under ``train.zero1`` on a multi-device mesh, places every state's
+    optimizer moments sharded over the ``data`` axis (ZeRO-1,
+    `parallel/mesh.py:shard_state_zero1`) and pins the output layout so
+    donated updates keep it. Returns ``(jitted_step, placed_states)``.
+    """
+    n = len(states)
+    donate = tuple(range(n))
+    if not (conf["train"].get("zero1", False) and mesh.devices.size > 1):
+        return jax.jit(step_fn, donate_argnums=donate), list(states)
+    from viet_tts_tpu.parallel.mesh import shard_state_zero1
+
+    placed, shardings = [], []
+    for s in states:
+        p, sh = shard_state_zero1(mesh, s)
+        placed.append(p)
+        shardings.append(sh)
+    fn = jax.jit(
+        step_fn, donate_argnums=donate, out_shardings=(*shardings, None)
+    )
+    return fn, placed
+
+
 class Preempted(BaseException):
     """Raised by the SIGTERM handler (preemption notice). Derives from
     BaseException so ordinary `except Exception` guards in step code can't
@@ -355,15 +381,15 @@ class FastSpeech2Trainer(BaseTrainer):
             batch_stats=self.variables.get("batch_stats", {}),
         )
         self.try_resume()
-        self.train_step = jax.jit(
-            make_fs2_train_step(
-                self.model,
-                self.criterion,
-                mixed_precision=bool(
-                    self.conf["train"].get("mixed_precision", False)
-                ),
+        step_fn = make_fs2_train_step(
+            self.model,
+            self.criterion,
+            mixed_precision=bool(
+                self.conf["train"].get("mixed_precision", False)
             ),
-            donate_argnums=(0,),
+        )
+        self.train_step, (self.state,) = jit_train_step(
+            self.conf, self.mesh, step_fn, [self.state]
         )
         self.valid_step = jax.jit(make_fs2_valid_step(self.model, self.criterion))
 

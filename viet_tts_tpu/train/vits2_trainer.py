@@ -34,7 +34,7 @@ from viet_tts_tpu.train.state import (
     init_on_cpu,
     set_learning_rate,
 )
-from viet_tts_tpu.train.trainer import BaseTrainer, log
+from viet_tts_tpu.train.trainer import BaseTrainer, jit_train_step, log
 
 
 def intersperse_ids(ids: np.ndarray, item: int = 0) -> np.ndarray:
@@ -325,7 +325,11 @@ class VITS2Trainer(BaseTrainer):
         )
         self.try_resume()
         self.try_resume_discriminators()
-        self.train_step = jax.jit(
+        self.train_step, (
+            self.state, self.disc_state, self.dur_state
+        ) = jit_train_step(
+            self.conf,
+            self.mesh,
             make_vits2_train_step(
                 self.model,
                 self.discriminator,
@@ -334,7 +338,7 @@ class VITS2Trainer(BaseTrainer):
                 self.lambdas,
                 self.conf["audio"]["stft"]["hop_length"],
             ),
-            donate_argnums=(0, 1, 2),
+            [self.state, self.disc_state, self.dur_state],
         )
 
         def _valid(params, batch, rng):
