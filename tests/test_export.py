@@ -1,0 +1,90 @@
+"""AOT serving export (`infer/export.py`).
+
+Round-trip: export a tiny one-stage JETS serving graph with `jax.export`,
+reload the artifact WITHOUT constructing any model class, and match the
+direct `OneStageTTS` call sample-for-sample. This is the deployment layer
+the reference lacks (its `test.py` rebuilds the torch model from source on
+every load).
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from viet_tts_tpu.config import build_config
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _tiny_jets_ckpt(tmp_path):
+    """Random-init tiny JETS saved as a real checkpoint dir + sidecars."""
+    from tests.test_jets import TINY_HP
+    from viet_tts_tpu.models.jets import JETS
+    from viet_tts_tpu.train import checkpoint as ckpt
+
+    conf = build_config(os.path.join(REPO, "config"))
+    conf["models"]["jets"]["generator_params"] = dict(TINY_HP)
+
+    model = JETS(n_symbols=131, n_channels=80, hparams=dict(TINY_HP),
+                 n_speakers=2)
+    key = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": key, "dropout": key, "noise": key},
+        jnp.zeros(1, jnp.int32),
+        jnp.zeros((1, 16), jnp.int32),
+        jnp.ones(1, jnp.int32) * 16,
+        64,
+        method=model.inference,
+    )
+    out = str(tmp_path / "ckpt")
+    ckpt.save_checkpoint(
+        out, "generator", 0, 0,
+        {"params": jax.device_get(variables["params"])},
+    )
+    ckpt.save_information(out, conf, speakers={"spk": 0}, accents={})
+    return out
+
+
+def test_export_one_stage_roundtrip(tmp_path):
+    from viet_tts_tpu.infer.api import OneStageTTS
+    from viet_tts_tpu.infer.export import (
+        ARTIFACT,
+        META,
+        WEIGHTS,
+        ExportedTTS,
+        export_one_stage,
+    )
+
+    ckpt_dir = _tiny_jets_ckpt(tmp_path)
+    tts = OneStageTTS(ckpt_dir, model_type="JETS", max_mel_frames=64,
+                      packed_vocoder=False)
+    art = str(tmp_path / "artifact")
+    export_one_stage(tts, art, batch=2, text_len=32)
+    for name in (ARTIFACT, WEIGHTS, META):
+        assert os.path.exists(os.path.join(art, name))
+
+    served = ExportedTTS(art)
+    texts = ["xin chào các bạn", "một hai ba"]
+    ref = tts(texts, speaker="spk")
+    got = served(texts, speaker="spk")
+    assert len(got) == len(ref) == 2
+    for r, g in zip(ref, got):
+        assert g.shape == r.shape
+        np.testing.assert_allclose(g, r, rtol=1e-5, atol=1e-5)
+
+
+def test_export_rejects_mesh_serving(tmp_path):
+    import pytest
+
+    from viet_tts_tpu.infer.api import OneStageTTS
+    from viet_tts_tpu.infer.export import export_one_stage
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the multi-device CPU mesh")
+    ckpt_dir = _tiny_jets_ckpt(tmp_path)
+    tts = OneStageTTS(ckpt_dir, model_type="JETS", max_mel_frames=64,
+                      packed_vocoder=False, data_parallel=True)
+    with pytest.raises(ValueError, match="single-device"):
+        export_one_stage(tts, str(tmp_path / "a"))
