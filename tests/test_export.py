@@ -75,6 +75,56 @@ def test_export_one_stage_roundtrip(tmp_path):
         np.testing.assert_allclose(g, r, rtol=1e-5, atol=1e-5)
 
 
+def _tiny_two_stage_ckpts(tmp_path):
+    """Tiny FS2 + HiFiGAN checkpoint dirs (random init via the tolerant
+    loader: empty params payloads keep the fresh initialization)."""
+    from viet_tts_tpu.train import checkpoint as ckpt
+
+    conf = build_config(os.path.join(REPO, "config"))
+    m = conf["models"]["fastspeech2"]
+    m.update(encoder_layers=1, encoder_hidden=32, decoder_layers=1,
+             decoder_hidden=32)
+    m["building_block"]["block_type"] = "transformer"
+    m["building_block"]["transformer"]["conv_filter_size"] = 64
+    m["vcae"].update(conv_layers=3, conv_chans_list=[8, 8, 16], gru_units=16)
+    m["postnet"].update(embedding_dim=32, conv_layers=3)
+    m["variance"]["variance_predictor"]["filter_size"] = 16
+    m["variance"]["variance_embedding"]["n_bins"] = 16
+    conf["models"]["hifigan"] = {
+        "upsample_initial_channel": 32,
+        "upsample_rates": [8, 8, 2, 2],
+        "upsample_kernel_sizes": [16, 16, 4, 4],
+        "resblock_kernel_sizes": [3],
+        "resblock_dilation_sizes": [[1, 3]],
+    }
+    ac, voc = str(tmp_path / "acoustic"), str(tmp_path / "vocoder")
+    for d in (ac, voc):
+        ckpt.save_checkpoint(d, "generator", 0, 0, {"params": {}})
+        ckpt.save_information(d, conf, speakers={"spk": 0},
+                              accents={"acc": 0})
+    return ac, voc
+
+
+def test_export_two_stage_roundtrip(tmp_path):
+    from viet_tts_tpu.infer.api import TwoStageTTS
+    from viet_tts_tpu.infer.export import ExportedTTS, export_two_stage
+
+    ac, voc = _tiny_two_stage_ckpts(tmp_path)
+    tts = TwoStageTTS(ac, voc, model_type="FASTSPEECH2", max_mel_frames=64,
+                      packed_vocoder=False)
+    art = str(tmp_path / "artifact")
+    export_two_stage(tts, art, batch=2, text_len=32)
+
+    served = ExportedTTS(art)
+    texts = ["xin chào các bạn", "một hai ba"]
+    ref = tts(texts, speaker="spk", accent="acc")
+    got = served(texts, speaker="spk", accent="acc")
+    assert len(got) == len(ref) == 2
+    for r, g in zip(ref, got):
+        assert g.shape == r.shape
+        np.testing.assert_allclose(g, r, rtol=1e-5, atol=1e-5)
+
+
 def test_export_rejects_mesh_serving(tmp_path):
     import pytest
 
