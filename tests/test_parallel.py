@@ -193,6 +193,45 @@ def test_jets_gan_sharded_step(mesh):
     ge._dryrun_jets_gan(mesh, mesh.devices.size)
 
 
+def test_fs2_fsdp_sharded_params_match_single_device(mesh):
+    """FSDP (ZeRO-3): params AND moments sharded over ``data`` keep the
+    step loss-identical; both trees actually live distributed."""
+    from viet_tts_tpu.parallel.mesh import shard_state_fsdp
+    from viet_tts_tpu.train.steps import make_fs2_train_step
+
+    n = mesh.devices.size
+    model, criterion, make_state, batch = _fs2_setup(n)
+    key = jax.random.PRNGKey(0)
+    plain = jax.jit(make_fs2_train_step(model, criterion))
+    state_ref, metrics_ref = plain(make_state(), batch, key)
+
+    state_f, shardings = shard_state_fsdp(mesh, make_state())
+    for tree in (state_f.params, state_f.opt_state):
+        big = [x for x in jax.tree_util.tree_leaves(tree)
+               if hasattr(x, "sharding") and np.size(x) >= n]
+        assert any(not x.sharding.is_fully_replicated for x in big)
+    step_f = jax.jit(
+        make_fs2_train_step(model, criterion),
+        donate_argnums=(0,),
+        out_shardings=(shardings, None),
+    )
+    state_f, metrics_f = step_f(state_f, shard_batch(mesh, batch), key)
+    for k in metrics_ref:
+        np.testing.assert_allclose(
+            float(metrics_f[k]), float(metrics_ref[k]),
+            rtol=1e-4, atol=1e-6, err_msg=k,
+        )
+    big = [x for x in jax.tree_util.tree_leaves(state_f.params)
+           if hasattr(x, "sharding") and np.size(x) >= n]
+    assert any(not x.sharding.is_fully_replicated for x in big)
+    _, metrics_ref2 = plain(state_ref, batch, jax.random.fold_in(key, 1))
+    _, metrics_f2 = step_f(state_f, shard_batch(mesh, batch),
+                           jax.random.fold_in(key, 1))
+    np.testing.assert_allclose(
+        float(metrics_f2["total"]), float(metrics_ref2["total"]), rtol=2e-3
+    )
+
+
 def test_jets_gan_zero1_matches_single_device(mesh):
     """ZeRO-1 on BOTH adversarial optimizers (gen + disc): losses identical
     to the unsharded step and both moment trees actually sharded."""

@@ -11,6 +11,7 @@ from viet_tts_tpu.parallel.mesh import (
     replicated,
     seq_sharded,
     shard_batch,
+    shard_state_fsdp,
     shard_state_zero1,
     shard_train_step,
     zero1_partition_specs,
@@ -27,6 +28,7 @@ __all__ = [
     "replicated",
     "seq_sharded",
     "shard_batch",
+    "shard_state_fsdp",
     "shard_state_zero1",
     "shard_train_step",
     "zero1_partition_specs",

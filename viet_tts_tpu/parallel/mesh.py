@@ -153,6 +153,35 @@ def shard_state_zero1(mesh: Mesh, state: Any):
     return jax.device_put(state, shardings), shardings
 
 
+def shard_state_fsdp(mesh: Mesh, state: Any):
+    """Fully-sharded (ZeRO-3 style) placement: params AND optimizer moments
+    split over ``data`` along their first divisible axis; batch statistics
+    and scalars replicated.
+
+    Under GSPMD each layer's weights are all-gathered just-in-time for its
+    matmul and gradients reduce-scattered back to the owning shard — the
+    standard TPU FSDP pattern (How-to-Scale-Your-Model recipe: annotate
+    shardings, let XLA insert the collectives over ICI). Per-device memory
+    for params + moments drops ~mesh-size-fold; math is unchanged
+    (loss-identity tested on the virtual mesh).
+
+    Returns ``(placed_state, sharding_tree)`` like `shard_state_zero1`.
+    """
+    n = int(mesh.shape[DATA_AXIS])
+    repl = replicated(mesh)
+    shardings = jax.tree_util.tree_map(lambda _: repl, state)
+    to_named = lambda s: NamedSharding(mesh, s)  # noqa: E731
+    shardings = shardings.replace(
+        params=jax.tree_util.tree_map(
+            to_named, zero1_partition_specs(state.params, n)
+        ),
+        opt_state=jax.tree_util.tree_map(
+            to_named, zero1_partition_specs(state.opt_state, n)
+        ),
+    )
+    return jax.device_put(state, shardings), shardings
+
+
 # ---------------------------------------------------------------------------
 # Tensor parallelism (2-D data x model mesh)
 # ---------------------------------------------------------------------------

@@ -46,20 +46,24 @@ def jit_train_step(conf, mesh, step_fn, states):
     """jit a train step whose leading args/outputs are the given
     TrainStates (then batch/rng..., then a metrics dict output).
 
-    Under ``train.zero1`` on a multi-device mesh, places every state's
-    optimizer moments sharded over the ``data`` axis (ZeRO-1,
-    `parallel/mesh.py:shard_state_zero1`) and pins the output layout so
-    donated updates keep it. Returns ``(jitted_step, placed_states)``.
+    Under ``train.zero1`` (optimizer moments sharded over ``data``; ZeRO-1)
+    or ``train.fsdp`` (params AND moments sharded; ZeRO-3) on a
+    multi-device mesh, places every state accordingly and pins the output
+    layout so donated updates keep it. Returns
+    ``(jitted_step, placed_states)``.
     """
     n = len(states)
     donate = tuple(range(n))
-    if not (conf["train"].get("zero1", False) and mesh.devices.size > 1):
+    fsdp = conf["train"].get("fsdp", False)
+    zero1 = conf["train"].get("zero1", False)
+    if not ((fsdp or zero1) and mesh.devices.size > 1):
         return jax.jit(step_fn, donate_argnums=donate), list(states)
-    from viet_tts_tpu.parallel.mesh import shard_state_zero1
+    from viet_tts_tpu.parallel.mesh import shard_state_fsdp, shard_state_zero1
 
+    place = shard_state_fsdp if fsdp else shard_state_zero1
     placed, shardings = [], []
     for s in states:
-        p, sh = shard_state_zero1(mesh, s)
+        p, sh = place(mesh, s)
         placed.append(p)
         shardings.append(sh)
     fn = jax.jit(
