@@ -55,3 +55,51 @@ def test_empty_text():
     tts = _StubTTS()
     assert tts.synthesize_long("").size == 0
     assert list(tts.stream_long("")) == []
+
+
+def test_stream_vocoder_matches_full_decode():
+    """Chunked decode with receptive-field context == full decode, sample
+    for sample (same jitted vocoder, same padding semantics)."""
+    import jax
+    import jax.numpy as jnp
+
+    from viet_tts_tpu.infer.streaming import stream_vocoder
+    from viet_tts_tpu.models.hifigan import HiFiGANGenerator
+
+    gen = HiFiGANGenerator(channels=32, resblock_kernel_sizes=(3, 7),
+                           resblock_dilations=((1, 3), (1, 3)))
+    rng = np.random.RandomState(0)
+    mel = jnp.asarray(rng.randn(2, 100, 80).astype(np.float32))
+    variables = gen.init(jax.random.PRNGKey(0), mel)
+
+    fn = jax.jit(lambda v, m: gen.apply(v, m)[..., 0])
+    full = np.asarray(fn(variables, mel))
+    hop = full.shape[1] // mel.shape[1]
+
+    chunks = list(stream_vocoder(fn, variables, mel, hop, chunk_frames=32,
+                                 context_frames=16))
+    # 100 frames / 32 -> 4 windows, last one 4 frames' worth of samples
+    assert len(chunks) == 4
+    streamed = np.concatenate(chunks, axis=1)
+    assert streamed.shape == full.shape
+    np.testing.assert_allclose(streamed, full, rtol=1e-4, atol=1e-5)
+
+
+def test_two_stage_stream_wav(tmp_path):
+    """stream_wav through the TwoStageTTS surface: chunks arrive
+    incrementally and concatenate to the batch call's waveform."""
+    from tests.test_export import _tiny_two_stage_ckpts
+    from viet_tts_tpu.infer.api import TwoStageTTS
+
+    ac, voc = _tiny_two_stage_ckpts(tmp_path)
+    tts = TwoStageTTS(ac, voc, model_type="FASTSPEECH2", max_mel_frames=64,
+                      packed_vocoder=False)
+    text = "xin chào các bạn"
+    chunks = list(tts.stream_wav(text, speaker="spk", accent="acc",
+                                 chunk_frames=4, context_frames=16))
+    streamed = np.concatenate(chunks)
+    (ref,) = tts([text], speaker="spk", accent="acc")
+    # one chunk per 4 predicted mel frames (last one partial)
+    assert len(chunks) == -(-ref.shape[0] // (4 * tts.hop))
+    assert streamed.shape == ref.shape
+    np.testing.assert_allclose(streamed, ref, rtol=1e-4, atol=1e-4)

@@ -403,6 +403,53 @@ class TwoStageTTS(_TTSBase):
         wav = self._vocoder_impl(vocoder_vars, mel)
         return mel, mel_lens, wav
 
+    def stream_wav(
+        self,
+        text: str,
+        speaker: str | int = 0,
+        accent: str | int = 0,
+        chunk_frames: int = 64,
+        context_frames: int = 32,
+    ):
+        """Yield waveform chunks for ONE utterance as the vocoder decodes.
+
+        The acoustic stage runs once (cheap: ~7% of the graph); the
+        HiFi-GAN decode — the serving bottleneck — is then streamed in
+        ``chunk_frames``-sized mel windows with receptive-field context, so
+        the first audio arrives after one chunk instead of the full
+        utterance (`infer/streaming.py`). Concatenated chunks match the
+        non-streamed decode to float tolerance.
+        """
+        import jax.numpy as jnp
+
+        from viet_tts_tpu.infer.streaming import stream_vocoder
+
+        ids, lens, _ = self.encode_texts([text])
+        sid = self.speakers.get(speaker, speaker if isinstance(speaker, int)
+                                else 0)
+        aid = self.accents.get(accent, accent if isinstance(accent, int)
+                               else 0)
+        dt = jnp.bfloat16 if self.half else jnp.float32
+        feats = jnp.zeros((1, 64, self.conf["audio"]["mel"]["channels"]), dt)
+        mel, mel_lens = self._synth_ac(
+            self.acoustic_vars, jnp.asarray(ids), jnp.asarray(lens),
+            jnp.full((1,), int(sid), jnp.int32),
+            jnp.full((1,), int(aid), jnp.int32), feats,
+        )
+        n_frames = int(np.asarray(mel_lens)[0])
+        emitted = 0
+        for chunk in stream_vocoder(
+            self._synth_voc, self.vocoder_vars, mel,
+            self.hop, chunk_frames=chunk_frames,
+            context_frames=context_frames,
+        ):
+            want = n_frames * self.hop - emitted
+            if want <= 0:
+                break
+            out = chunk[0, : min(chunk.shape[1], want)]
+            emitted += out.shape[0]
+            yield out
+
     def __call__(
         self,
         texts: Sequence[str],
