@@ -380,6 +380,38 @@ def stage_fs2():
     }
 
 
+def stage_stream_ttfa():
+    """Time-to-first-audio: chunked streaming vocoder decode vs the full
+    decode for ONE long utterance (B=1, T_mel=512). The chunked window
+    (chunk 64 + 2x32 context = 128 frames) is the serving latency lever
+    (`infer/streaming.py`); chunks match the full decode exactly
+    (tests/test_streaming.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from viet_tts_tpu.models.hifigan import HiFiGANGenerator
+
+    vocoder = HiFiGANGenerator(packed_tail=False)
+    rng = np.random.RandomState(0)
+    key = jax.random.PRNGKey(0)
+    mel = jnp.asarray(rng.randn(1, T_MEL, 80).astype(np.float32))
+    vv = vocoder.init(key, mel)
+
+    fn = jax.jit(lambda v, m: vocoder.apply(v, m)[..., 0])
+    full_dt = _honest_time(fn, vv, mel)
+
+    chunk, ctx = 64, 32
+    window = jnp.asarray(
+        rng.randn(1, chunk + 2 * ctx, 80).astype(np.float32))
+    first_dt = _honest_time(fn, vv, window)
+    return {
+        "ttfa_full_decode_s": full_dt,
+        "ttfa_stream_s": first_dt,
+        "ttfa_speedup": full_dt / first_dt,
+        "ttfa_chunk_frames": chunk,
+    }
+
+
 def stage_two_stage():
     """Config 2: FS2 conformer mel -> HiFi-GAN waveform, one fused graph."""
     import jax
@@ -1242,6 +1274,7 @@ STAGES = {
     "jets": stage_jets,
     "fs2": stage_fs2,
     "two_stage": stage_two_stage,
+    "stream_ttfa": stage_stream_ttfa,
     "matcha": stage_matcha,
     "vits2": stage_vits2,
     "train_fs2": stage_train_fs2,
@@ -1290,7 +1323,8 @@ PROCESS_GROUPS = [
     ("tpu_b64", ["jets_b64", "jets_b64_bf16"], 1800, "tpu"),
     ("tpu_core2", ["jets_fused", "train_fs2", "train_fs2_bf16",
                    "train_jets_gan"], 1800, "tpu"),
-    ("tpu_rest", ["fs2", "matcha", "vits2", "jets_unpacked"], 1500, "tpu"),
+    ("tpu_rest", ["fs2", "matcha", "vits2", "jets_unpacked",
+                  "stream_ttfa"], 1500, "tpu"),
     # remat A/B rides last: two fresh train-step compiles that only refine
     # the training story (train_fs2/_bf16 above already carry the headline
     # train numbers) — a timeout here loses nothing upstream.
