@@ -193,6 +193,65 @@ def test_jets_gan_sharded_step(mesh):
     ge._dryrun_jets_gan(mesh, mesh.devices.size)
 
 
+def test_fs2_grad_accum_matches_manual_accumulation():
+    """grad_accum=2: the in-scan accumulation equals a hand-rolled loop
+    over the exposed micro_loss with the same rng folds and BN chaining —
+    same averaged grads, same updated params, same metrics."""
+    from viet_tts_tpu.train.steps import make_fs2_train_step
+
+    model, criterion, make_state, batch = _fs2_setup(2)  # B = 4
+    A = 2
+    step = make_fs2_train_step(model, criterion, grad_accum=A)
+    jstep = jax.jit(step)
+    key = jax.random.PRNGKey(0)
+    state_s, metrics_s = jstep(make_state(), batch, key)
+
+    # oracle: replicate the accumulation with plain Python
+    state = make_state()
+    step_rng = jax.random.fold_in(key, state.step)
+    drop_rng, rep_rng = jax.random.split(step_rng)
+    micro = jax.tree_util.tree_map(
+        lambda x: np.reshape(x, (A, x.shape[0] // A, *x.shape[1:]))
+        if np.ndim(x) else x,
+        batch,
+    )
+    bstats = state.batch_stats
+    gsum = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+    tsum, lsum = 0.0, None
+    for i in range(A):
+        mb = jax.tree_util.tree_map(lambda x: x[i], micro)
+        (tot_i, (losses_i, mut_i)), g_i = jax.value_and_grad(
+            step.micro_loss, has_aux=True
+        )(state.params, mb, bstats, state.step,
+          jax.random.fold_in(drop_rng, i), jax.random.fold_in(rep_rng, i))
+        bstats = mut_i["batch_stats"]
+        gsum = jax.tree_util.tree_map(jnp.add, gsum, g_i)
+        tsum += float(tot_i)
+        lsum = losses_i if lsum is None else jax.tree_util.tree_map(
+            jnp.add, lsum, losses_i)
+    grads = jax.tree_util.tree_map(lambda g: g / A, gsum)
+    state_o = state.apply_gradients(grads=grads, batch_stats=bstats)
+
+    np.testing.assert_allclose(
+        float(metrics_s["total"]), tsum / A, rtol=1e-5
+    )
+    for k in lsum:
+        np.testing.assert_allclose(
+            float(metrics_s[k]), float(lsum[k]) / A, rtol=1e-4, atol=1e-6,
+            err_msg=k,
+        )
+    # NOTE: post-Adam params are not compared leaf-by-leaf (near-zero
+    # step-1 grads make the update ~ lr*sign(grad); reassociation noise
+    # between the scan and the python loop flips signs — same caveat as
+    # test_fs2_sharded_step_matches_single_device). Integrated check: a
+    # second step through each updated state must agree.
+    _, m_s2 = jstep(state_s, batch, jax.random.fold_in(key, 1))
+    _, m_o2 = jstep(state_o, batch, jax.random.fold_in(key, 1))
+    np.testing.assert_allclose(
+        float(m_s2["total"]), float(m_o2["total"]), rtol=2e-3
+    )
+
+
 def test_fs2_fsdp_sharded_params_match_single_device(mesh):
     """FSDP (ZeRO-3): params AND moments sharded over ``data`` keep the
     step loss-identical; both trees actually live distributed."""

@@ -391,6 +391,7 @@ class FastSpeech2Trainer(BaseTrainer):
             mixed_precision=bool(
                 self.conf["train"].get("mixed_precision", False)
             ),
+            grad_accum=int(self.conf["train"].get("grad_accum", 1)),
         )
         self.train_step, (self.state,) = jit_train_step(
             self.conf, self.mesh, step_fn, [self.state]
