@@ -103,3 +103,34 @@ def test_two_stage_stream_wav(tmp_path):
     assert len(chunks) == -(-ref.shape[0] // (4 * tts.hop))
     assert streamed.shape == ref.shape
     np.testing.assert_allclose(streamed, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_one_stage_stream_wav(tmp_path):
+    """JETS stream_wav: the split inference_hidden/decode_hidden path,
+    chunked, concatenates to the fused __call__ waveform."""
+    from tests.test_export import _tiny_jets_ckpt
+    from viet_tts_tpu.infer.api import OneStageTTS
+
+    ckpt_dir = _tiny_jets_ckpt(tmp_path)
+    tts = OneStageTTS(ckpt_dir, model_type="JETS", max_mel_frames=64,
+                      packed_vocoder=False)
+    text = "xin chào các bạn"
+    chunks = list(tts.stream_wav(text, speaker="spk", chunk_frames=8,
+                                 context_frames=16))
+    streamed = np.concatenate(chunks)
+    (ref,) = tts([text], speaker="spk")
+    up = tts._upsample
+    assert len(chunks) == -(-ref.shape[0] // (8 * up))
+    assert streamed.shape == ref.shape
+    np.testing.assert_allclose(streamed, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_one_stage_stream_wav_rejects_vits2():
+    from viet_tts_tpu.infer.api import OneStageTTS
+
+    tts = OneStageTTS.__new__(OneStageTTS)  # no checkpoint needed
+    tts.model_type = "vits2"
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        next(tts.stream_wav("a"))

@@ -549,6 +549,9 @@ class OneStageTTS(_TTSBase):
                 hparams=jets_hp,
                 n_speakers=n_spk,
             )
+            self._upsample = int(np.prod(
+                jets_hp.get("generator_upsample_scales", (8, 8, 2, 2))
+            ))
         elif self.model_type == "vits2":
             if fused_vocoder:
                 raise ValueError(
@@ -643,6 +646,65 @@ class OneStageTTS(_TTSBase):
             )
 
         self._synth = jax.jit(_synth)
+
+    def stream_wav(
+        self,
+        text: str,
+        speaker: str | int = 0,
+        chunk_frames: int = 64,
+        context_frames: int = 32,
+    ):
+        """Yield waveform chunks for ONE utterance (JETS only).
+
+        Splits the fused graph at the vocoder boundary
+        (`JETS.inference_hidden`/`decode_hidden`): the acoustic half runs
+        once, the HiFiGAN half — the serving bottleneck — streams in
+        fixed-shape windows with receptive-field context
+        (`infer/streaming.py`), so first audio arrives after one chunk.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        from viet_tts_tpu.infer.streaming import stream_vocoder
+
+        if self.model_type != "jets":
+            raise NotImplementedError(
+                "chunked streaming decode is wired for JETS; VITS2/"
+                "Text2Wav decode remains monolithic (use stream_long for "
+                "sentence-level streaming)"
+            )
+        if getattr(self, "_stream_fns", None) is None:
+            hidden = jax.jit(lambda v, ids, lens, sids: self.model.apply(
+                v, sids, ids, lens, self.max_mel_frames,
+                method=self.model.inference_hidden,
+                rngs={"noise": jax.random.PRNGKey(0)},
+            ))
+            voc = jax.jit(lambda v, zs: self.model.apply(
+                v, zs, method=self.model.decode_hidden,
+            ))
+            self._stream_fns = (hidden, voc)
+        hidden, voc = self._stream_fns
+
+        ids, lens, _ = self.encode_texts([text])
+        sid = self.speakers.get(speaker, speaker if isinstance(speaker, int)
+                                else 0)
+        zs, mel_lens = hidden(
+            self.variables, jnp.asarray(ids), jnp.asarray(lens),
+            jnp.full((1,), int(sid), jnp.int32),
+        )
+        up = self._upsample
+        n_samples = int(np.asarray(mel_lens)[0]) * up
+        emitted = 0
+        for chunk in stream_vocoder(
+            voc, self.variables, zs, up, chunk_frames=chunk_frames,
+            context_frames=context_frames,
+        ):
+            want = n_samples - emitted
+            if want <= 0:
+                break
+            out = chunk[0, : min(chunk.shape[1], want)]
+            emitted += out.shape[0]
+            yield out
 
     def __call__(self, texts: Sequence[str], speaker: str | int = 0) -> List[np.ndarray]:
         import jax.numpy as jnp

@@ -265,6 +265,30 @@ class JETS(nn.Module):
         ``parallel.mesh.seq_sharded``) time-shards the vocoder input so
         GSPMD spatially partitions the decode over the mesh.
         """
+        zs, mel_lens = self.inference_hidden(
+            sids, text, text_lengths, max_mel_frames,
+            feats=feats, d_control=d_control,
+        )
+        if seq_sharding is not None:
+            zs = jax.lax.with_sharding_constraint(zs, seq_sharding)
+        wav = self.decode_hidden(zs)
+        wav_lengths = mel_lens * self.upsample_factor
+        return wav, wav_lengths
+
+    def inference_hidden(
+        self,
+        sids: jnp.ndarray,
+        text: jnp.ndarray,
+        text_lengths: jnp.ndarray,
+        max_mel_frames: int,
+        feats: Optional[jnp.ndarray] = None,
+        d_control: float = 1.0,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """`inference` up to the vocoder boundary: (zs (B, T_mel, adim),
+        mel_lens). Pairs with `decode_hidden` for chunked streaming decode
+        (`infer/streaming.py`) — the HiFiGAN stage is ~82% of the fused
+        graph's time, so decoding it per-chunk bounds time-to-first-audio
+        by the chunk, not the utterance."""
         T_text = text.shape[1]
         text_pad = pad_mask_from_lengths(text_lengths, T_text)
         hs, _ = self.encoder(text, ~text_pad, train=False)
@@ -292,8 +316,8 @@ class JETS(nn.Module):
             hs = length_regulator(hs, d_outs.astype(jnp.int32), max_mel_frames)
 
         zs, _ = self.decoder(hs, mel_valid, train=False)
-        if seq_sharding is not None:
-            zs = jax.lax.with_sharding_constraint(zs, seq_sharding)
-        wav = self.generator(zs)[..., 0]
-        wav_lengths = mel_lens * self.upsample_factor
-        return wav, wav_lengths
+        return zs, mel_lens
+
+    def decode_hidden(self, zs: jnp.ndarray) -> jnp.ndarray:
+        """Vocoder half of the split inference: zs window -> waveform."""
+        return self.generator(zs)[..., 0]
