@@ -125,11 +125,41 @@ def test_one_stage_stream_wav(tmp_path):
     np.testing.assert_allclose(streamed, ref, rtol=1e-4, atol=1e-4)
 
 
-def test_one_stage_stream_wav_rejects_vits2():
+def test_one_stage_stream_wav_vits2(tmp_path):
+    """VITS2 stream_wav: split at the flow/decoder boundary; chunks
+    concatenate to the fused call's waveform (shared noise key keeps the
+    prior sample identical across both paths)."""
+    import os
+
+    from tests.test_vits2 import TINY_HP
+    from viet_tts_tpu.config import build_config
+    from viet_tts_tpu.infer.api import OneStageTTS
+    from viet_tts_tpu.train import checkpoint as ckpt
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    conf = build_config(os.path.join(REPO, "config"))
+    conf["models"]["vits2"] = dict(TINY_HP)
+    out = str(tmp_path / "ckpt")
+    ckpt.save_checkpoint(out, "generator", 0, 0, {"params": {}})
+    ckpt.save_information(out, conf, speakers={"spk": 0}, accents={})
+
+    tts = OneStageTTS(out, model_type="VITS2", max_mel_frames=64,
+                      packed_vocoder=False)
+    text = "xin chào các bạn"
+    chunks = list(tts.stream_wav(text, speaker="spk", chunk_frames=8,
+                                 context_frames=16))
+    streamed = np.concatenate(chunks)
+    (ref,) = tts([text], speaker="spk")
+    assert len(chunks) == -(-ref.shape[0] // (8 * tts._upsample))
+    assert streamed.shape == ref.shape
+    np.testing.assert_allclose(streamed, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_one_stage_stream_wav_rejects_joint():
     from viet_tts_tpu.infer.api import OneStageTTS
 
     tts = OneStageTTS.__new__(OneStageTTS)  # no checkpoint needed
-    tts.model_type = "vits2"
+    tts.model_type = "joint"
     import pytest
 
     with pytest.raises(NotImplementedError):

@@ -568,6 +568,9 @@ class OneStageTTS(_TTSBase):
                 hparams=vits_hp,
                 n_speakers=n_spk,
             )
+            self._upsample = int(np.prod(
+                vits_hp.get("upsample_rates", (8, 8, 2, 2))
+            ))
         else:  # joint text2wav
             from viet_tts_tpu.models.text2wav import Text2Wav
 
@@ -654,12 +657,12 @@ class OneStageTTS(_TTSBase):
         chunk_frames: int = 64,
         context_frames: int = 32,
     ):
-        """Yield waveform chunks for ONE utterance (JETS only).
+        """Yield waveform chunks for ONE utterance (JETS / VITS2).
 
         Splits the fused graph at the vocoder boundary
-        (`JETS.inference_hidden`/`decode_hidden`): the acoustic half runs
-        once, the HiFiGAN half — the serving bottleneck — streams in
-        fixed-shape windows with receptive-field context
+        (`inference_hidden`/`decode_hidden` on the model): the acoustic
+        half runs once, the conv decoder — the serving bottleneck —
+        streams in fixed-shape windows with receptive-field context
         (`infer/streaming.py`), so first audio arrives after one chunk.
         """
         import jax
@@ -667,11 +670,11 @@ class OneStageTTS(_TTSBase):
 
         from viet_tts_tpu.infer.streaming import stream_vocoder
 
-        if self.model_type != "jets":
+        if self.model_type not in ("jets", "vits2"):
             raise NotImplementedError(
-                "chunked streaming decode is wired for JETS; VITS2/"
-                "Text2Wav decode remains monolithic (use stream_long for "
-                "sentence-level streaming)"
+                "chunked streaming decode is wired for JETS/VITS2; the "
+                "Text2Wav composer decode remains monolithic (use "
+                "stream_long for sentence-level streaming)"
             )
         if getattr(self, "_stream_fns", None) is None:
             hidden = jax.jit(lambda v, ids, lens, sids: self.model.apply(
@@ -679,25 +682,33 @@ class OneStageTTS(_TTSBase):
                 method=self.model.inference_hidden,
                 rngs={"noise": jax.random.PRNGKey(0)},
             ))
-            voc = jax.jit(lambda v, zs: self.model.apply(
-                v, zs, method=self.model.decode_hidden,
-            ))
+            if self.model_type == "vits2":
+                voc3 = jax.jit(lambda v, zs, sids: self.model.apply(
+                    v, zs, sids, method=self.model.decode_hidden,
+                ))
+                voc = lambda sids: (  # noqa: E731
+                    lambda v, zs: voc3(v, zs, sids))
+            else:
+                voc2 = jax.jit(lambda v, zs: self.model.apply(
+                    v, zs, method=self.model.decode_hidden,
+                ))
+                voc = lambda sids: voc2  # noqa: E731
             self._stream_fns = (hidden, voc)
         hidden, voc = self._stream_fns
 
         ids, lens, _ = self.encode_texts([text])
         sid = self.speakers.get(speaker, speaker if isinstance(speaker, int)
                                 else 0)
+        sids_arr = jnp.full((1,), int(sid), jnp.int32)
         zs, mel_lens = hidden(
-            self.variables, jnp.asarray(ids), jnp.asarray(lens),
-            jnp.full((1,), int(sid), jnp.int32),
+            self.variables, jnp.asarray(ids), jnp.asarray(lens), sids_arr,
         )
         up = self._upsample
         n_samples = int(np.asarray(mel_lens)[0]) * up
         emitted = 0
         for chunk in stream_vocoder(
-            voc, self.variables, zs, up, chunk_frames=chunk_frames,
-            context_frames=context_frames,
+            voc(sids_arr), self.variables, zs, up,
+            chunk_frames=chunk_frames, context_frames=context_frames,
         ):
             want = n_samples - emitted
             if want <= 0:

@@ -243,6 +243,30 @@ class VITS2(nn.Module):
         (`vits2/generator.py:237-268`). Returns (wav, wav_lengths).
         ``seq_sharding`` time-shards the decoder input (sequence-parallel
         serving, see ``parallel.mesh.seq_sharded``)."""
+        z, feats_lengths = self.inference_hidden(
+            sids, text, text_lengths, max_mel_frames,
+            d_control=d_control, noise_scale=noise_scale,
+            noise_scale_w=noise_scale_w,
+        )
+        if seq_sharding is not None:
+            z = jax.lax.with_sharding_constraint(z, seq_sharding)
+        wav = self.decode_hidden(z, sids)
+        return wav, feats_lengths * self.upsample_factor
+
+    def inference_hidden(
+        self,
+        sids: jnp.ndarray,
+        text: jnp.ndarray,
+        text_lengths: jnp.ndarray,
+        max_mel_frames: int,
+        d_control: float = 1.0,
+        noise_scale: float = 0.0,
+        noise_scale_w: float = 0.0,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """`inference` up to the decoder boundary: (z (B, T_y, C),
+        feats_lengths). Pairs with `decode_hidden` for chunked streaming
+        decode (`infer/streaming.py`); the conv decoder dominates the
+        serving graph like the JETS vocoder does."""
         g = self.emb_g(sids)
         x, m_p, logs_p, x_mask = self.enc_p(text, text_lengths, g=g, train=False)
         if self.use_sdp:
@@ -270,7 +294,8 @@ class VITS2(nn.Module):
         )
         z = self.flow(z_p, y_mask, g=g, reverse=True, train=False)
         z = z * y_mask
-        if seq_sharding is not None:
-            z = jax.lax.with_sharding_constraint(z, seq_sharding)
-        wav = self.dec(z, g=g)[..., 0]
-        return wav, feats_lengths * self.upsample_factor
+        return z, feats_lengths
+
+    def decode_hidden(self, z: jnp.ndarray, sids: jnp.ndarray) -> jnp.ndarray:
+        """Decoder half of the split inference: z window -> waveform."""
+        return self.dec(z, g=self.emb_g(sids))[..., 0]
