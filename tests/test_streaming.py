@@ -164,3 +164,27 @@ def test_one_stage_stream_wav_rejects_joint():
 
     with pytest.raises(NotImplementedError):
         next(tts.stream_wav("a"))
+
+
+def test_stream_wav_long_two_stage(tmp_path):
+    """stream_wav_long: per-sentence chunked decode concatenates to the
+    per-sentence stream_wav outputs."""
+    from tests.test_export import _tiny_two_stage_ckpts
+    from viet_tts_tpu.infer.api import TwoStageTTS, split_sentences
+
+    ac, voc = _tiny_two_stage_ckpts(tmp_path)
+    tts = TwoStageTTS(ac, voc, model_type="FASTSPEECH2", max_mel_frames=64,
+                      packed_vocoder=False)
+    text = "xin chào các bạn. hôm nay trời đẹp quá!"
+    assert len(split_sentences(text)) == 2
+    got = np.concatenate(list(
+        tts.stream_wav_long(text, speaker="spk", accent="acc",
+                            chunk_frames=8, context_frames=16)
+    ))
+    want = np.concatenate([
+        np.concatenate(list(tts.stream_wav(s, speaker="spk", accent="acc",
+                                           chunk_frames=8,
+                                           context_frames=16)))
+        for s in split_sentences(text)
+    ])
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)

@@ -131,6 +131,16 @@ class _TTSBase:
             for wav in self(group, **kwargs):
                 yield np.asarray(wav)
 
+    def stream_wav_long(self, text: str, max_words: int = 40, **kwargs):
+        """Lowest-latency long-form path: sentence-split, then chunked
+        vocoder decode within each sentence (`stream_wav`) — first audio
+        after ONE vocoder chunk of the first sentence, vs one sentence
+        batch for `stream_long`. Backends without a split decode (the
+        one-stage Text2Wav composer) raise NotImplementedError; use
+        `stream_long` there."""
+        for sentence in split_sentences(text, max_words=max_words):
+            yield from self.stream_wav(sentence, **kwargs)
+
     def encode_texts(
         self, texts: Sequence[str]
     ) -> Tuple[np.ndarray, np.ndarray, int]:
