@@ -138,3 +138,35 @@ def test_export_rejects_mesh_serving(tmp_path):
                       packed_vocoder=False, data_parallel=True)
     with pytest.raises(ValueError, match="single-device"):
         export_one_stage(tts, str(tmp_path / "a"))
+
+
+def test_export_multi_bucket(tmp_path):
+    """Multi-signature artifact: the loader picks the smallest fitting
+    bucket and matches the direct call at each."""
+    from viet_tts_tpu.infer.api import OneStageTTS
+    from viet_tts_tpu.infer.export import ExportedTTS, export_one_stage
+
+    ckpt_dir = _tiny_jets_ckpt(tmp_path)
+    tts = OneStageTTS(ckpt_dir, model_type="JETS", max_mel_frames=64,
+                      packed_vocoder=False)
+    art = str(tmp_path / "buckets")
+    export_one_stage(tts, art, signatures=[(1, 16), (2, 32)])
+    served = ExportedTTS(art)
+    assert set(served._calls) == {(1, 16), (2, 32)}
+    assert served._pick_signature(1, 10) == (1, 16)
+    assert served._pick_signature(1, 20) == (2, 32)  # needs longer text
+    assert served._pick_signature(2, 8) == (2, 32)   # needs batch 2
+
+    (got_short,) = served(["ba"], speaker="spk")
+    (ref_short,) = tts(["ba"], speaker="spk")
+    np.testing.assert_allclose(got_short, ref_short, rtol=1e-4, atol=1e-4)
+
+    got2 = served(["xin chào các bạn", "một hai ba"], speaker="spk")
+    ref2 = tts(["xin chào các bạn", "một hai ba"], speaker="spk")
+    for g, r in zip(got2, ref2):
+        np.testing.assert_allclose(g, r, rtol=1e-4, atol=1e-4)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="cannot serve"):
+        served._pick_signature(3, 8)

@@ -33,7 +33,8 @@ META = "export_meta.json"
 
 
 def export_one_stage(tts, out_dir: str, batch: int = 1, text_len: int = 64,
-                     platforms: Sequence[str] | None = None) -> str:
+                     platforms: Sequence[str] | None = None,
+                     signatures: Sequence[Sequence[int]] | None = None) -> str:
     """Export a `OneStageTTS`'s synthesis graph as a serialized artifact.
 
     ``platforms``: lowering platforms recorded in the artifact (e.g.
@@ -52,21 +53,16 @@ def export_one_stage(tts, out_dir: str, batch: int = 1, text_len: int = 64,
             "sequence_parallel); re-create the TTS without mesh options"
         )
 
-    ids = np.zeros((batch, text_len), np.int32)
-    lens = np.full((batch,), text_len, np.int32)
-    sids = np.zeros((batch,), np.int32)
     kwargs = {}
     if platforms is not None:
         kwargs["platforms"] = tuple(platforms)
-    exported = jax.export.export(tts._synth, **kwargs)(
-        tts.variables, ids, lens, sids
-    )
 
-    os.makedirs(out_dir, exist_ok=True)
-    with open(os.path.join(out_dir, ARTIFACT), "wb") as f:
-        f.write(exported.serialize())
-    with open(os.path.join(out_dir, WEIGHTS), "wb") as f:
-        f.write(serialization.to_bytes(tts.variables))
+    def make_args(B, T):
+        ids = np.zeros((B, T), np.int32)
+        lens = np.full((B,), T, np.int32)
+        sids = np.zeros((B,), np.int32)
+        return (tts.variables, ids, lens, sids)
+
     meta = {
         "kind": "one_stage",
         "model_type": tts.model_type,
@@ -75,17 +71,46 @@ def export_one_stage(tts, out_dir: str, batch: int = 1, text_len: int = 64,
         "sr": tts.sr,
         "hop": tts.hop,
         "max_mel_frames": tts.max_mel_frames,
-        "platforms": list(exported.platforms),
         "speakers": tts.speakers,
         "half": bool(getattr(tts, "half", False)),
     }
+    return _write_artifacts(tts._synth, make_args, tts.variables, out_dir,
+                            batch, text_len, signatures, kwargs, meta)
+
+
+def _write_artifacts(fn, make_args, weights, out_dir, batch, text_len,
+                     signatures, export_kwargs, meta) -> str:
+    """Serialize `fn` at one or many (batch, text_len) signatures.
+
+    Single-signature artifacts keep the flat `serving.stablehlo` layout;
+    with ``signatures`` each bucket gets `serving_b{B}_t{T}.stablehlo` and
+    the loader picks the smallest fitting bucket per request."""
+    import jax
+    from flax import serialization
+
+    sigs = ([(batch, text_len)] if signatures is None
+            else [tuple(map(int, s)) for s in signatures])
+    os.makedirs(out_dir, exist_ok=True)
+    recorded = []
+    for B, T in sigs:
+        exported = jax.export.export(fn, **export_kwargs)(*make_args(B, T))
+        name = (ARTIFACT if signatures is None
+                else f"serving_b{B}_t{T}.stablehlo")
+        with open(os.path.join(out_dir, name), "wb") as f:
+            f.write(exported.serialize())
+        recorded.append([B, T, name])
+        meta["platforms"] = list(exported.platforms)
+    with open(os.path.join(out_dir, WEIGHTS), "wb") as f:
+        f.write(serialization.to_bytes(weights))
+    meta["signatures"] = recorded
     with open(os.path.join(out_dir, META), "w") as f:
         json.dump(meta, f, indent=1)
     return out_dir
 
 
 def export_two_stage(tts, out_dir: str, batch: int = 1, text_len: int = 64,
-                     platforms: Sequence[str] | None = None) -> str:
+                     platforms: Sequence[str] | None = None,
+                     signatures: Sequence[Sequence[int]] | None = None) -> str:
     """Export a `TwoStageTTS`'s fused acoustic->vocoder graph.
 
     The artifact fixes the default prosody controls (d/p/e = 1.0) and the
@@ -106,26 +131,19 @@ def export_two_stage(tts, out_dir: str, batch: int = 1, text_len: int = 64,
     n_mels = tts.conf["audio"]["mel"]["channels"]
     import jax.numpy as jnp
 
-    ids = np.zeros((batch, text_len), np.int32)
-    lens = np.full((batch,), text_len, np.int32)
-    sids = np.zeros((batch,), np.int32)
-    aids = np.zeros((batch,), np.int32)
-    feats = jnp.zeros((batch, 64, n_mels),
-                      jnp.bfloat16 if tts.half else jnp.float32)
+    def make_args(B, T):
+        ids = np.zeros((B, T), np.int32)
+        lens = np.full((B,), T, np.int32)
+        sids = np.zeros((B,), np.int32)
+        aids = np.zeros((B,), np.int32)
+        feats = jnp.zeros((B, 64, n_mels),
+                          jnp.bfloat16 if tts.half else jnp.float32)
+        return (tts.acoustic_vars, tts.vocoder_vars, ids, lens, sids, aids,
+                feats)
+
     kwargs = {}
     if platforms is not None:
         kwargs["platforms"] = tuple(platforms)
-    exported = jax.export.export(tts._synth, **kwargs)(
-        tts.acoustic_vars, tts.vocoder_vars, ids, lens, sids, aids, feats
-    )
-
-    os.makedirs(out_dir, exist_ok=True)
-    with open(os.path.join(out_dir, ARTIFACT), "wb") as f:
-        f.write(exported.serialize())
-    with open(os.path.join(out_dir, WEIGHTS), "wb") as f:
-        f.write(serialization.to_bytes(
-            {"acoustic": tts.acoustic_vars, "vocoder": tts.vocoder_vars}
-        ))
     meta = {
         "kind": "two_stage",
         "model_type": tts.model_type,
@@ -135,14 +153,13 @@ def export_two_stage(tts, out_dir: str, batch: int = 1, text_len: int = 64,
         "hop": tts.hop,
         "max_mel_frames": tts.max_mel_frames,
         "n_mels": n_mels,
-        "platforms": list(exported.platforms),
         "speakers": tts.speakers,
         "accents": tts.accents,
         "half": bool(getattr(tts, "half", False)),
     }
-    with open(os.path.join(out_dir, META), "w") as f:
-        json.dump(meta, f, indent=1)
-    return out_dir
+    weights = {"acoustic": tts.acoustic_vars, "vocoder": tts.vocoder_vars}
+    return _write_artifacts(tts._synth, make_args, weights, out_dir,
+                            batch, text_len, signatures, kwargs, meta)
 
 
 class ExportedTTS:
@@ -160,14 +177,33 @@ class ExportedTTS:
 
         with open(os.path.join(artifact_dir, META)) as f:
             self.meta = json.load(f)
-        with open(os.path.join(artifact_dir, ARTIFACT), "rb") as f:
-            self._exported = jax.export.deserialize(bytearray(f.read()))
+        sigs = self.meta.get("signatures") or [
+            [self.meta["batch"], self.meta["text_len"], ARTIFACT]
+        ]
+        self._calls = {}
+        for B, T, name in sigs:
+            with open(os.path.join(artifact_dir, name), "rb") as f:
+                exported = jax.export.deserialize(bytearray(f.read()))
+            self._calls[(int(B), int(T))] = jax.jit(exported.call)
         with open(os.path.join(artifact_dir, WEIGHTS), "rb") as f:
             self.variables = serialization.msgpack_restore(f.read())
         self.sr = self.meta["sr"]
         self.hop = self.meta["hop"]
         self.speakers = self.meta.get("speakers") or {}
-        self._call = jax.jit(self._exported.call)
+
+    def _pick_signature(self, n_texts: int, seq_len: int):
+        """Smallest bucket fitting the request: min batch >= n_texts, then
+        min text_len >= seq_len (else the largest text_len, truncating)."""
+        fitting = [bt for bt in self._calls if bt[0] >= n_texts]
+        if not fitting:
+            raise ValueError(
+                f"artifact buckets {sorted(self._calls)} cannot serve a "
+                f"batch of {n_texts}"
+            )
+        long_enough = [bt for bt in fitting if bt[1] >= seq_len]
+        pool = long_enough or fitting
+        return min(pool, key=lambda bt: (bt[0], bt[1] if long_enough
+                                         else -bt[1]))
 
     def __call__(self, texts: Sequence[str], speaker: str | int = 0,
                  accent: str | int = 0):
@@ -176,16 +212,17 @@ class ExportedTTS:
         g2p = getattr(self, "_g2p", None)
         if g2p is None:
             g2p = self._g2p = VietnameseG2P()
-        B, T = self.meta["batch"], self.meta["text_len"]
-        if len(texts) > B:
-            raise ValueError(
-                f"artifact was exported for batch<={B}, got {len(texts)}"
-            )
+        seqs = [
+            np.asarray(symbols_to_ids(g2p(basic_clean(t), get_boundary=False)),
+                       np.int32)
+            for t in texts
+        ]
+        B, T = self._pick_signature(len(texts), max(len(s) for s in seqs))
+        self._call = self._calls[(B, T)]
         ids = np.zeros((B, T), np.int32)
         lens = np.zeros((B,), np.int32)
-        for i, t in enumerate(texts):
-            phones = g2p(basic_clean(t), get_boundary=False)
-            seq = np.asarray(symbols_to_ids(phones), np.int32)[:T]
+        for i, seq in enumerate(seqs):
+            seq = seq[:T]
             ids[i, : len(seq)] = seq
             lens[i] = len(seq)
         lens = np.maximum(lens, 1)
@@ -234,9 +271,16 @@ def _main():
     ap.add_argument("--half", action="store_true")
     ap.add_argument("--platforms", default=None,
                     help="comma-separated lowering platforms, e.g. tpu,cpu")
+    ap.add_argument("--signatures", default=None,
+                    help='bucket list like "1x32,4x64" (batch x text_len); '
+                         "the loader picks the smallest fitting bucket")
     args = ap.parse_args()
 
     platforms = args.platforms.split(",") if args.platforms else None
+    signatures = (
+        [tuple(map(int, s.split("x"))) for s in args.signatures.split(",")]
+        if args.signatures else None
+    )
     two_stage = args.model_type.upper() in (
         "FASTSPEECH2", "ADASPEECH", "MATCHA")
     if two_stage:
@@ -248,7 +292,8 @@ def _main():
             max_mel_frames=args.max_mel_frames, half=args.half,
         )
         export_two_stage(tts, args.out, batch=args.batch,
-                         text_len=args.text_len, platforms=platforms)
+                         text_len=args.text_len, platforms=platforms,
+                         signatures=signatures)
     else:
         from viet_tts_tpu.infer.api import OneStageTTS
 
@@ -257,7 +302,8 @@ def _main():
             max_mel_frames=args.max_mel_frames, half=args.half,
         )
         export_one_stage(tts, args.out, batch=args.batch,
-                         text_len=args.text_len, platforms=platforms)
+                         text_len=args.text_len, platforms=platforms,
+                         signatures=signatures)
     print(f"exported {args.model_type} -> {args.out}")
 
 
