@@ -45,6 +45,10 @@ def build_arguments():
     p.add_argument("--pipeline_parallel", action="store_true",
                    help="two-stage only: acoustic stage on device 0, "
                         "vocoder on device 1 (overlaps successive batches)")
+    p.add_argument("--stream", action="store_true",
+                   help="chunked streaming decode per utterance (first "
+                        "audio after one vocoder chunk; two-stage or "
+                        "JETS/VITS2)")
     p.add_argument("--d_control", type=float, default=1.0)
     p.add_argument("--p_control", type=float, default=1.0)
     p.add_argument("--e_control", type=float, default=1.0)
@@ -104,6 +108,23 @@ def main():
         )
         waves = nnet(texts, speaker=speaker)
     load_and_synth = time.time() - t0
+
+    if args.stream:
+        import numpy as np
+
+        # chunked decode: report time-to-first-audio per utterance
+        kw = {"speaker": speaker}
+        if args.model_type in TWO_STAGE:
+            kw["accent"] = accent
+        waves = []
+        for i, text in enumerate(texts):
+            t0 = time.time()
+            chunks = []
+            for chunk in nnet.stream_wav(text, **kw):
+                if not chunks:
+                    print(f"[{i}] first audio after {time.time() - t0:.3f}s")
+                chunks.append(chunk)
+            waves.append(np.concatenate(chunks))
 
     total_audio = 0.0
     for i, w in enumerate(waves):
