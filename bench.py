@@ -1484,6 +1484,31 @@ def _run_group(group, names, timeout_s, kind, acc, done, emit):
         proc.kill()
 
 
+def _tpu_alive(timeout_s: float = 150.0) -> bool:
+    """Probe the (axon remote) TPU in a subprocess with a hard timeout.
+
+    A dead relay makes jax.devices() HANG rather than fail, so an
+    un-probed bench would burn its whole budget on the first TPU group
+    (the round-2 failure mode, and the 9h tunnel outage observed in r3).
+    """
+    import subprocess
+
+    code = (
+        "import jax, jax.numpy as jnp\n"
+        "d = jax.devices()\n"
+        "x = jnp.ones((128, 128))\n"
+        "print('UP', d[0].platform, float((x @ x).sum()))\n"
+    )
+    try:
+        p = subprocess.run(
+            [sys.executable, "-c", code], timeout=timeout_s,
+            capture_output=True, text=True,
+        )
+        return p.returncode == 0 and "UP" in p.stdout
+    except Exception:
+        return False
+
+
 def orchestrate():
     budget = float(os.environ.get("BENCH_BUDGET_S", 3300))
     t_start = time.monotonic()
@@ -1495,7 +1520,21 @@ def orchestrate():
 
     emit()  # a valid (if empty) line exists from second zero
 
-    for group, names, timeout_s, kind in PROCESS_GROUPS:
+    groups = list(PROCESS_GROUPS)
+    if any(kind == "tpu" for _, _, _, kind in groups):
+        if _tpu_alive(float(os.environ.get("BENCH_PROBE_S", 150))):
+            note("bench: TPU probe ok")
+        else:
+            # dead tunnel: run CPU groups first (they always land), then
+            # give each TPU group only a short try in case it recovers
+            note("bench: TPU probe FAILED; cpu groups first, tpu capped")
+            groups = (
+                [g for g in groups if g[3] != "tpu"]
+                + [(n, s, min(t, 300), k) for n, s, t, k in groups
+                   if k == "tpu"]
+            )
+
+    for group, names, timeout_s, kind in groups:
         elapsed = time.monotonic() - t_start
         if elapsed > budget - 60:
             note(f"bench: skipping group {group} (budget: {elapsed:.0f}s elapsed)")
@@ -1506,7 +1545,8 @@ def orchestrate():
     # catch-up pass: a stage forfeited by a group timeout (e.g. a transient
     # stall of the remote TPU runtime mid-group) gets one retry in a fresh
     # child if budget remains; most-valuable groups first, same order
-    for group, names, timeout_s, kind in PROCESS_GROUPS:
+    # (reuses `groups`, so a dead-tunnel run keeps its capped tpu timeouts)
+    for group, names, timeout_s, kind in groups:
         missing = [n for n in names if n not in done]
         if not missing:
             continue
