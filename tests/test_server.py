@@ -48,6 +48,18 @@ def test_server_roundtrip(tmp_path):
         pcm = np.frombuffer(data[44:], "<i2")
         assert pcm.size > 0 and np.isfinite(pcm).all()
 
+        # chunked streaming endpoint: PCM matches the batch synth closely
+        conn.request("POST", "/synthesize_stream", body=payload,
+                     headers={"Content-Type": "application/json"})
+        r = conn.getresponse()
+        assert r.status == 200
+        assert r.getheader("Content-Type").startswith("audio/L16")
+        stream_pcm = np.frombuffer(r.read(), "<i2")  # http.client de-chunks
+        assert stream_pcm.size == pcm.size
+        np.testing.assert_allclose(
+            stream_pcm.astype(np.int32), pcm.astype(np.int32), atol=16
+        )
+
         # malformed request -> 400, server stays alive
         conn.request("POST", "/synthesize", body="{}",
                      headers={"Content-Type": "application/json"})

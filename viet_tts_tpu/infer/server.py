@@ -13,6 +13,10 @@ API:
     GET  /health               -> {"status": "ok", "model": "..."}
     POST /synthesize           -> audio/wav bytes
          body: {"text": "...", "speaker": 0}
+    POST /synthesize_stream    -> chunked 16-bit PCM (no RIFF header);
+         audio bytes flow as the vocoder decodes (`stream_wav`), so
+         playback can start after the first chunk. 501 for backends
+         without a split decode.
 
 Requests are serialized through one worker: the jitted synthesis graph is
 single-stream on a chip anyway, and batching beyond one request belongs to
@@ -68,7 +72,7 @@ def make_handler(tts, model_name: str):
                 self._json(404, {"error": "unknown path"})
 
         def do_POST(self):
-            if self.path != "/synthesize":
+            if self.path not in ("/synthesize", "/synthesize_stream"):
                 self._json(404, {"error": "unknown path"})
                 return
             try:
@@ -77,6 +81,9 @@ def make_handler(tts, model_name: str):
                 text = req["text"]
             except (ValueError, KeyError) as e:
                 self._json(400, {"error": f"bad request: {e!r}"})
+                return
+            if self.path == "/synthesize_stream":
+                self._stream(text, req)
                 return
             try:
                 with lock:
@@ -90,6 +97,42 @@ def make_handler(tts, model_name: str):
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
+
+        def _stream(self, text: str, req: dict):
+            import itertools
+
+            stream_fn = getattr(tts, "stream_wav", None)
+            if stream_fn is None:
+                self._json(501, {"error": "backend has no streaming decode"})
+                return
+            started = False
+            try:
+                with lock:
+                    # draw the first chunk before committing the response
+                    # so a synth error can still return clean JSON
+                    gen = stream_fn(text, speaker=req.get("speaker", 0))
+                    first = next(gen)
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "audio/L16; rate=%d" % tts.sr)
+                    self.send_header("Transfer-Encoding", "chunked")
+                    self.end_headers()
+                    started = True
+                    for wave in itertools.chain([first], gen):
+                        pcm = (np.clip(wave, -1.0, 1.0)
+                               * 32767.0).astype("<i2").tobytes()
+                        self.wfile.write(
+                            f"{len(pcm):x}\r\n".encode() + pcm + b"\r\n"
+                        )
+                        self.wfile.flush()
+                    self.wfile.write(b"0\r\n\r\n")
+            except NotImplementedError as e:
+                self._json(501, {"error": repr(e)})
+            except Exception as e:
+                if started:  # headers gone; just drop the connection
+                    self.close_connection = True
+                else:
+                    self._json(500, {"error": repr(e)})
 
     return Handler
 
