@@ -170,3 +170,22 @@ def test_export_multi_bucket(tmp_path):
 
     with pytest.raises(ValueError, match="cannot serve"):
         served._pick_signature(3, 8)
+
+
+def test_export_half_precision(tmp_path):
+    """bf16 serving graph exports and round-trips (weights stored bf16,
+    loader feeds matching dtypes)."""
+    from viet_tts_tpu.infer.api import OneStageTTS
+    from viet_tts_tpu.infer.export import ExportedTTS, export_one_stage
+
+    ckpt_dir = _tiny_jets_ckpt(tmp_path)
+    tts = OneStageTTS(ckpt_dir, model_type="JETS", max_mel_frames=64,
+                      packed_vocoder=False, half=True)
+    art = str(tmp_path / "artifact_bf16")
+    export_one_stage(tts, art, batch=1, text_len=32)
+    served = ExportedTTS(art)
+    assert served.meta["half"] is True
+    (ref,) = tts(["xin chào"], speaker="spk")
+    (got,) = served(["xin chào"], speaker="spk")
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
