@@ -723,3 +723,34 @@ def test_jets_sequence_parallel_inference_matches_single_device(mesh):
     np.testing.assert_allclose(
         np.asarray(wav_sp), np.asarray(wav_ref), rtol=1e-5, atol=1e-5
     )
+
+
+def test_hybrid_mesh_single_slice_fallback(mesh):
+    """`make_hybrid_mesh` on a single-slice host (the CI's virtual CPU
+    devices carry no `slice_index`) falls back to `make_mesh` with the same
+    axis names, 1-D and 2-D, and the 2-D mesh drives a TP-sharded FS2 step
+    to finite losses."""
+    from viet_tts_tpu.parallel.mesh import (
+        make_hybrid_mesh,
+        param_partition_specs,
+        shard_params_tp,
+    )
+    from viet_tts_tpu.train.steps import make_fs2_train_step
+
+    m1 = make_hybrid_mesh()
+    assert m1.axis_names == ("data",)
+    assert m1.devices.size == len(jax.devices())
+
+    m2 = make_hybrid_mesh(model_parallel=2)
+    assert m2.axis_names == ("data", "model")
+    assert m2.shape["model"] == 2
+
+    n = m2.shape["data"]
+    model, criterion, make_state, batch = _fs2_setup(n)
+    step = jax.jit(make_fs2_train_step(model, criterion))
+    state = make_state()
+    specs = param_partition_specs(state.params, model_parallel=2)
+    state = shard_params_tp(m2, state, specs)
+    sharded = shard_batch(m2, batch)
+    state, metrics = step(state, sharded, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["total"]))

@@ -6,6 +6,7 @@ from viet_tts_tpu.parallel.mesh import (
     data_sharded,
     param_partition_specs,
     shard_params_tp,
+    make_hybrid_mesh,
     make_mesh,
     pad_batch_to_devices,
     replicated,
@@ -23,6 +24,7 @@ __all__ = [
     "data_sharded",
     "param_partition_specs",
     "shard_params_tp",
+    "make_hybrid_mesh",
     "make_mesh",
     "pad_batch_to_devices",
     "replicated",

@@ -36,6 +36,45 @@ def make_mesh(n_devices: Optional[int] = None, model_parallel: int = 1) -> Mesh:
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 
+def make_hybrid_mesh(
+    model_parallel: int = 1, devices: Optional[list] = None
+) -> Mesh:
+    """Multi-slice / multi-host mesh: ``data`` spans DCN x ICI, ``model``
+    stays inside a slice.
+
+    The scaling recipe for pods: tensor parallelism must ride ICI (it
+    all-reduces per layer pair), while pure data parallelism tolerates DCN
+    (one gradient reduction per step), so the slower network gets the outer
+    slot of the data axis. Built with
+    ``jax.experimental.mesh_utils.create_hybrid_device_mesh``, which orders
+    each slice's devices by ICI topology; XLA then emits hierarchical
+    collectives (reduce-scatter inside the slice, cross-slice all-reduce on
+    the partials). Single-slice processes (this repo's CI, the one-chip
+    axon runtime) fall back to `make_mesh` — same axis names, so every
+    sharding helper and train step works unchanged on either.
+
+    The reference is single-GPU (`src/trainer/base.py:19,53`); this is the
+    above-parity entry point for multi-host training.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n_slices = len({getattr(d, "slice_index", 0) for d in devices})
+    if n_slices <= 1:
+        return make_mesh(len(devices), model_parallel)
+    from jax.experimental import mesh_utils
+
+    per_slice = len(devices) // n_slices
+    assert per_slice % model_parallel == 0, (per_slice, model_parallel)
+    arr = mesh_utils.create_hybrid_device_mesh(
+        [per_slice // model_parallel, model_parallel],
+        [n_slices, 1],
+        devices,
+    )
+    if model_parallel == 1:
+        return Mesh(arr[:, 0], (DATA_AXIS,))
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

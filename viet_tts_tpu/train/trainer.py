@@ -27,7 +27,11 @@ from viet_tts_tpu.data.filelist import (
     create_unknown_filelist,
     read_filelist,
 )
-from viet_tts_tpu.parallel.mesh import make_mesh, pad_batch_to_devices, shard_batch
+from viet_tts_tpu.parallel.mesh import (
+    make_hybrid_mesh,
+    pad_batch_to_devices,
+    shard_batch,
+)
 from viet_tts_tpu.text import NUM_SYMBOLS
 from viet_tts_tpu.train import checkpoint as ckpt
 from viet_tts_tpu.train.state import (
@@ -102,7 +106,9 @@ class BaseTrainer:
         self.train_set = read_filelist(os.path.join(inp, "train.txt"))
         self.test_set = read_filelist(os.path.join(inp, "test.txt"))
 
-        self.mesh = make_mesh()
+        # hybrid-aware: on a multi-slice pod the data axis spans DCN x ICI
+        # (make_hybrid_mesh); single-slice hosts get the plain ICI mesh.
+        self.mesh = make_hybrid_mesh()
         self.epoch, self.iter = 0, 0
         self.rng = jax.random.PRNGKey(self.conf["train"]["seed"])
 
