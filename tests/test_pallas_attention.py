@@ -106,3 +106,71 @@ def test_flash_fully_padded_row_matches_dense():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
     )
+
+
+@pytest.mark.parametrize("impl", ["dense", "flash"])
+def test_conformer_encoder_impl_equivalence(impl):
+    """Full ConformerEncoder output is implementation-invariant: the
+    factorized/fused paths share the exact same param tree as the shift
+    path (pos_proj created via the identity feed), so one init drives all
+    three."""
+    from viet_tts_tpu.nn.conformer import ConformerEncoder
+
+    T = 32
+    ids = jax.random.randint(jax.random.PRNGKey(0), (2, T), 0, 40)
+    pad = jnp.arange(T)[None, :] >= jnp.asarray([T, T - 7])[:, None]
+
+    def run(implementation):
+        enc = ConformerEncoder(
+            n_symbols=40, n_layers=2, d_model=64, max_seq_len=128,
+            num_heads=4, mask_attn_keys=True,
+            attn_implementation=implementation,
+        )
+        return enc
+
+    ref_enc = run("shift")
+    params = ref_enc.init(jax.random.PRNGKey(1), ids, pad)
+    want, _ = ref_enc.apply(params, ids, pad)
+
+    enc = run(impl)
+    with pltpu.force_tpu_interpret_mode():
+        got, _ = enc.apply(params, ids, pad)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_conformer_encoder_dense_grads_match_shift():
+    """Training-mode gradients (dropout off so paths are deterministic)
+    agree between the shift and dense implementations."""
+    from viet_tts_tpu.nn.conformer import ConformerEncoder
+
+    T = 32
+    ids = jax.random.randint(jax.random.PRNGKey(0), (2, T), 0, 40)
+    pad = jnp.arange(T)[None, :] >= jnp.asarray([T, T - 7])[:, None]
+
+    def make(implementation):
+        return ConformerEncoder(
+            n_symbols=40, n_layers=1, d_model=64, max_seq_len=128,
+            num_heads=4, dropout=0.0, mask_attn_keys=True,
+            attn_implementation=implementation,
+        )
+
+    params = make("shift").init(jax.random.PRNGKey(1), ids, pad)
+
+    def loss(p, enc):
+        (out, _), _ = enc.apply(
+            p, ids, pad, True,
+            rngs={"dropout": jax.random.PRNGKey(2)},
+            mutable=["batch_stats"],
+        )
+        return jnp.sum(out ** 2)
+
+    gs = jax.grad(loss)(params, make("shift"))
+    gd = jax.grad(loss)(params, make("dense"))
+    flat_s = jax.tree_util.tree_leaves(gs)
+    flat_d = jax.tree_util.tree_leaves(gd)
+    for a, b in zip(flat_s, flat_d):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=1e-4
+        )

@@ -307,6 +307,13 @@ class FastSpeech2(nn.Module):
                 # NOTE); set true in the config for from-scratch training
                 # with proper attention key masking
                 mask_attn_keys=bool(bconf.get("mask_attn_keys", False)),
+                # "shift" (parity default) | "dense" | "flash" — see
+                # nn/conformer.py:RelativeMultiHeadAttention. "flash" fuses
+                # attention in a Pallas kernel (ops/pallas_attention.py) so
+                # the (B, H, T, T) scores never reach HBM.
+                attn_implementation=str(
+                    hp.get("attn_implementation", "shift")
+                ),
             )
             self.encoder = ConformerEncoder(
                 n_symbols=self.n_symbols,

@@ -81,6 +81,11 @@ class JETS(nn.Module):
                     # mirror the reference's rel-pos compatibility fallback
                     # (`jets/model.py:272-293`)
                     legacy=hp.get("conformer_rel_pos_type", "latest") == "legacy",
+                    # "shift" (parity default) | "dense" | "flash" — see
+                    # nn/espnet_conformer.py:RelPositionMultiHeadedAttention
+                    attn_implementation=str(
+                        hp.get("attn_implementation", "shift")
+                    ),
                     remat=bool(hp.get("remat", False)),
                 )
             return EspnetTransformerEncoder(
@@ -99,6 +104,9 @@ class JETS(nn.Module):
                     f"{'encoder' if is_enc else 'decoder'}_normalize_before", True
                 ),
                 use_scaled_pos_enc=hp.get("use_scaled_pos_enc", True),
+                attn_implementation=str(
+                    hp.get("attn_implementation", "shift")
+                ),
                 remat=bool(hp.get("remat", False)),
             )
 

@@ -41,11 +41,28 @@ class FeedForwardModule(nn.Module):
 
 
 class RelativeMultiHeadAttention(nn.Module):
-    """Transformer-XL attention with content (u) and position (v) biases."""
+    """Transformer-XL attention with content (u) and position (v) biases.
+
+    ``attn_implementation`` selects the score path (all mathematically
+    identical; pinned against each other in `tests/test_xl_attention.py` /
+    `tests/test_pallas_attention.py`):
+
+    - "shift": the reference's padded-reshape relative shift
+      (`blocks/conformer.py`) — materialises two extra (B, H, T, T)
+      copies; kept as the parity default.
+    - "dense": the factorized rewrite (`ops/xl_attention.py`) — three
+      matmuls + iota-select, no shift copies; attention-weight dropout
+      still applies (weights are materialised).
+    - "flash": the fused Pallas kernel (`ops/pallas_attention.py`) — the
+      (B, H, T, T) tensor never reaches HBM. No attention-weight dropout
+      exists on this path, so when ``train`` and ``dropout > 0`` it
+      resolves to "dense" to keep training semantics.
+    """
 
     d_model: int
     num_heads: int
     dropout: float = 0.1
+    attn_implementation: str = "shift"
 
     @staticmethod
     def _relative_shift(pos_score: jnp.ndarray) -> jnp.ndarray:
@@ -71,9 +88,7 @@ class RelativeMultiHeadAttention(nn.Module):
         q = nn.Dense(self.d_model, name="query_proj")(x).reshape(B, T, H, D)
         k = nn.Dense(self.d_model, name="key_proj")(x).reshape(B, T, H, D)
         v = nn.Dense(self.d_model, name="value_proj")(x).reshape(B, T, H, D)
-        p = nn.Dense(self.d_model, use_bias=False, name="pos_proj")(
-            pos_emb
-        ).reshape(B, -1, H, D)
+        pos_proj = nn.Dense(self.d_model, use_bias=False, name="pos_proj")
 
         u_bias = self.param(
             "u_bias", nn.initializers.xavier_uniform(), (H, D)
@@ -81,12 +96,47 @@ class RelativeMultiHeadAttention(nn.Module):
         v_bias = self.param(
             "v_bias", nn.initializers.xavier_uniform(), (H, D)
         )
-
-        content = jnp.einsum("bqhd,bkhd->bhqk", q + u_bias, k)
-        pos = jnp.einsum("bqhd,bkhd->bhqk", q + v_bias, p)
-        pos = self._relative_shift(pos)
         # reference divides by sqrt(d_model), not sqrt(d_head)
-        score = (content + pos) / jnp.sqrt(jnp.asarray(self.d_model, x.dtype))
+        scale = 1.0 / jnp.sqrt(jnp.asarray(self.d_model, x.dtype))
+
+        impl = self.attn_implementation
+        if impl == "flash" and train and self.dropout > 0.0:
+            impl = "dense"  # keep attention-weight dropout semantics
+
+        if impl != "shift":
+            # factorized paths consume the raw sinusoid table (the rotation
+            # identity in ops/xl_attention.py requires it; the encoders pass
+            # exactly that, broadcast over batch) and the pos_proj kernel
+            # pulled onto the query side. The identity feed both creates the
+            # flax param and reads it back — E x E, negligible.
+            from viet_tts_tpu.ops.xl_attention import (
+                xl_attention_scores,
+                xl_pos_queries,
+            )
+
+            table = pos_emb[0]
+            pos_kernel = pos_proj(jnp.eye(table.shape[-1], dtype=x.dtype))
+            if impl == "flash":
+                from viet_tts_tpu.ops.pallas_attention import (
+                    flash_xl_attention,
+                )
+
+                gA, gB = xl_pos_queries(q + v_bias, pos_kernel)
+                ctx = flash_xl_attention(
+                    q + u_bias, k, v, gA, gB, table, scale,
+                    pad_mask=pad_mask,
+                )
+                return nn.Dense(self.d_model, name="out_proj")(ctx)
+            gA, gB = xl_pos_queries(q + v_bias, pos_kernel)
+            score = xl_attention_scores(
+                q + u_bias, k, gA, gB, table, scale
+            )
+        else:
+            p = pos_proj(pos_emb).reshape(B, -1, H, D)
+            content = jnp.einsum("bqhd,bkhd->bhqk", q + u_bias, k)
+            pos = jnp.einsum("bqhd,bkhd->bhqk", q + v_bias, p)
+            pos = self._relative_shift(pos)
+            score = (content + pos) * scale
 
         if pad_mask is not None:
             score = jnp.where(pad_mask[:, None, None, :], MASK_NEG, score)
@@ -143,6 +193,7 @@ class ConformerBlock(nn.Module):
     half_step_residual: bool = True
     dropout: float = 0.1
     mask_attn_keys: bool = False
+    attn_implementation: str = "shift"
 
     @nn.compact
     def __call__(
@@ -160,7 +211,8 @@ class ConformerBlock(nn.Module):
 
         attn_in = nn.LayerNorm(name="mhsa_ln")(x)
         attn_out = RelativeMultiHeadAttention(
-            self.d_model, self.num_heads, self.dropout, name="mhsa"
+            self.d_model, self.num_heads, self.dropout,
+            self.attn_implementation, name="mhsa"
         )(
             attn_in,
             pos_emb,
@@ -220,6 +272,7 @@ class ConformerEncoder(nn.Module):
     half_step_residual: bool = True
     dropout: float = 0.1
     mask_attn_keys: bool = False
+    attn_implementation: str = "shift"
     remat: bool = False
 
     @nn.compact
@@ -245,6 +298,7 @@ class ConformerEncoder(nn.Module):
                 self.half_step_residual,
                 self.dropout,
                 self.mask_attn_keys,
+                self.attn_implementation,
                 name=f"layer_{i}",
             )(x, pos_emb, pad_mask, train)
         return x, emb
@@ -263,6 +317,7 @@ class ConformerDecoder(nn.Module):
     half_step_residual: bool = True
     dropout: float = 0.1
     mask_attn_keys: bool = False
+    attn_implementation: str = "shift"
     remat: bool = False
 
     @nn.compact
@@ -286,6 +341,7 @@ class ConformerDecoder(nn.Module):
                 self.half_step_residual,
                 self.dropout,
                 self.mask_attn_keys,
+                self.attn_implementation,
                 name=f"layer_{i}",
             )(x, pos_emb, pad_mask, train)
         return x, pad_mask

@@ -62,10 +62,29 @@ def _legacy_rel_shift(x: jnp.ndarray) -> jnp.ndarray:
 
 
 class RelPositionMultiHeadedAttention(nn.Module):
+    """espnet rel-pos MHA ("latest" symmetric-table or "legacy" XL shift).
+
+    ``attn_implementation`` (all paths mathematically identical, pinned in
+    `tests/test_espnet_attention.py`):
+
+    - "shift": the reference's padded-reshape shift — materialises an
+      extra (B, H, T, 2T-1) (latest) or (B, H, T, T) (legacy) copy.
+      Parity default.
+    - "dense": factorized scores (`ops/espnet_attention.py` /
+      `ops/xl_attention.py`) — plain matmuls, no shift copies;
+      attention-weight dropout still applies.
+    - "flash": the fused Pallas kernels (`ops/pallas_attention.py`) — the
+      (B, H, T, T) tensor never reaches HBM. Resolves to "dense" when
+      ``train`` and ``dropout > 0`` (no in-kernel weight dropout). The
+      post-softmax zeroing of invalid keys is a no-op for any row with a
+      valid key and is skipped inside the kernel.
+    """
+
     d_model: int
     num_heads: int
     dropout: float = 0.0
     legacy: bool = False
+    attn_implementation: str = "shift"
 
     @nn.compact
     def __call__(self, x, pos_emb, valid_mask=None, train: bool = False):
@@ -74,21 +93,75 @@ class RelPositionMultiHeadedAttention(nn.Module):
         q = nn.Dense(self.d_model, name="linear_q")(x).reshape(B, T, H, D)
         k = nn.Dense(self.d_model, name="linear_k")(x).reshape(B, T, H, D)
         v = nn.Dense(self.d_model, name="linear_v")(x).reshape(B, T, H, D)
-        p = nn.Dense(self.d_model, use_bias=False, name="linear_pos")(
-            pos_emb
-        ).reshape(1, -1, H, D)
+        linear_pos = nn.Dense(self.d_model, use_bias=False, name="linear_pos")
 
         u = self.param("pos_bias_u", nn.initializers.xavier_uniform(), (H, D))
         w = self.param("pos_bias_v", nn.initializers.xavier_uniform(), (H, D))
+        scale = 1.0 / jnp.sqrt(jnp.asarray(D, x.dtype))
 
-        matrix_ac = jnp.einsum("bqhd,bkhd->bhqk", q + u, k)
-        matrix_bd = jnp.einsum(
-            "bqhd,bkhd->bhqk", q + w, jnp.broadcast_to(p, (B, p.shape[1], H, D))
-        )
-        matrix_bd = _legacy_rel_shift(matrix_bd) if self.legacy else _rel_shift(
-            matrix_bd
-        )
-        scores = (matrix_ac + matrix_bd) / jnp.sqrt(jnp.asarray(D, x.dtype))
+        impl = self.attn_implementation
+        if impl == "flash" and train and self.dropout > 0.0:
+            impl = "dense"  # keep attention-weight dropout semantics
+
+        if impl != "shift":
+            # factorized paths: pull the linear_pos kernel onto the query
+            # side (identity feed creates + reads the flax param; E x E,
+            # negligible) and dot against the raw sinusoid table
+            from viet_tts_tpu.ops.espnet_attention import (
+                espnet_rel_scores_latest,
+                neg_rel_table,
+                rel_pos_queries_latest,
+            )
+            from viet_tts_tpu.ops.xl_attention import (
+                xl_attention_scores,
+                xl_pos_queries,
+            )
+
+            table = pos_emb[0]
+            pos_kernel = linear_pos(jnp.eye(table.shape[-1], dtype=x.dtype))
+            # valid_mask here is (B, T) (the conformer layers get it raw;
+            # the broadcast to (B, 1, 1, T) happens at score time)
+            pad_mask = None if valid_mask is None else ~valid_mask
+            if self.legacy:
+                gA, gB = xl_pos_queries(q + w, pos_kernel)
+                if impl == "flash":
+                    from viet_tts_tpu.ops.pallas_attention import (
+                        flash_xl_attention,
+                    )
+
+                    ctx = flash_xl_attention(
+                        q + u, k, v, gA, gB, table, scale,
+                        pad_mask=pad_mask,
+                    )
+                    return nn.Dense(self.d_model, name="linear_out")(ctx)
+                scores = xl_attention_scores(q + u, k, gA, gB, table, scale)
+            else:
+                g = rel_pos_queries_latest(q + w, pos_kernel)
+                neg = neg_rel_table(table)
+                if impl == "flash":
+                    from viet_tts_tpu.ops.pallas_attention import (
+                        flash_rel_attention,
+                    )
+
+                    ctx = flash_rel_attention(
+                        q + u, k, v, g, neg, scale, pad_mask=pad_mask
+                    )
+                    return nn.Dense(self.d_model, name="linear_out")(ctx)
+                scores = espnet_rel_scores_latest(q + u, k, g, neg, scale)
+        else:
+            p = linear_pos(pos_emb).reshape(1, -1, H, D)
+            matrix_ac = jnp.einsum("bqhd,bkhd->bhqk", q + u, k)
+            matrix_bd = jnp.einsum(
+                "bqhd,bkhd->bhqk",
+                q + w,
+                jnp.broadcast_to(p, (B, p.shape[1], H, D)),
+            )
+            matrix_bd = (
+                _legacy_rel_shift(matrix_bd)
+                if self.legacy
+                else _rel_shift(matrix_bd)
+            )
+            scores = (matrix_ac + matrix_bd) * scale
 
         if valid_mask is not None:
             scores = jnp.where(valid_mask[:, None, None, :], scores, MASK_NEG)
@@ -132,6 +205,7 @@ class EspnetConformerLayer(nn.Module):
     ffn_type: str = "conv1d"  # espnet positionwise_layer_type
     ffn_kernel: int = 1
     legacy: bool = False
+    attn_implementation: str = "shift"
 
     @nn.compact
     def __call__(self, x, pos_emb, valid_mask=None, train: bool = False):
@@ -162,7 +236,8 @@ class EspnetConformerLayer(nn.Module):
         h = nn.LayerNorm(epsilon=LN_EPS, name="norm_mha")(x)
         h = RelPositionMultiHeadedAttention(
             self.d_model, self.num_heads, self.attn_dropout,
-            legacy=self.legacy, name="self_attn",
+            legacy=self.legacy,
+            attn_implementation=self.attn_implementation, name="self_attn",
         )(h, pos_emb, valid_mask, train=train)
         x = x + nn.Dropout(self.dropout)(h, deterministic=not train)
 
@@ -201,6 +276,7 @@ class EspnetConformerEncoder(nn.Module):
     ffn_type: str = "conv1d"
     ffn_kernel: int = 1
     legacy: bool = False  # espnet conformer_rel_pos_type == "legacy"
+    attn_implementation: str = "shift"
     remat: bool = False
 
     @nn.compact
@@ -229,9 +305,15 @@ class EspnetConformerEncoder(nn.Module):
             ]
         else:
             pos_emb = jnp.asarray(rel_positional_table(T, self.d_model))[None]
-        pos_emb = nn.Dropout(self.positional_dropout)(
-            pos_emb, deterministic=not train
-        )
+        if self.attn_implementation == "shift":
+            pos_emb = nn.Dropout(self.positional_dropout)(
+                pos_emb, deterministic=not train
+            )
+        # factorized/flash paths consume the raw sinusoid table (the
+        # rotation identity in ops/espnet_attention.py requires it), so the
+        # espnet pos-table dropout is skipped there — a deliberate,
+        # documented training-regularization divergence; eval graphs are
+        # identical either way.
 
         layer_cls = _layer_cls(self.remat)
         for i in range(self.num_blocks):
@@ -246,6 +328,7 @@ class EspnetConformerEncoder(nn.Module):
                 self.ffn_type,
                 self.ffn_kernel,
                 self.legacy,
+                self.attn_implementation,
                 name=f"layer_{i}",
             )(x, pos_emb, valid_mask, train)
         x = nn.LayerNorm(epsilon=LN_EPS, name="after_norm")(x)

@@ -51,11 +51,17 @@ class ScaledPositionalEncoding(nn.Module):
 
 
 class EspnetSelfAttention(nn.Module):
-    """Standard MHA with espnet's masking (mask (B, 1 or Tq, Tk), True=valid)."""
+    """Standard MHA with espnet's masking (mask (B, 1 or Tq, Tk), True=valid).
+
+    ``attn_implementation="flash"`` routes through the fused Pallas kernel
+    (`ops/pallas_attention.py:flash_attention`) — no (B, H, T, T) score
+    tensor in HBM; resolves to the dense path when ``train`` and
+    ``dropout > 0`` (attention-weight dropout needs the weights)."""
 
     d_model: int
     num_heads: int
     dropout: float = 0.0
+    attn_implementation: str = "shift"
 
     @nn.compact
     def __call__(self, x, valid_mask=None, train: bool = False):
@@ -64,6 +70,17 @@ class EspnetSelfAttention(nn.Module):
         q = nn.Dense(self.d_model, name="linear_q")(x).reshape(B, T, H, D)
         k = nn.Dense(self.d_model, name="linear_k")(x).reshape(B, T, H, D)
         v = nn.Dense(self.d_model, name="linear_v")(x).reshape(B, T, H, D)
+        if (
+            self.attn_implementation == "flash"
+            and not (train and self.dropout > 0.0)
+        ):
+            from viet_tts_tpu.ops.pallas_attention import flash_attention
+
+            pad_mask = None if valid_mask is None else ~valid_mask[:, 0]
+            ctx = flash_attention(
+                q, k, v, 1.0 / float(np.sqrt(D)), pad_mask=pad_mask
+            )
+            return nn.Dense(self.d_model, name="linear_out")(ctx)
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(
             jnp.asarray(D, x.dtype)
         )
@@ -101,13 +118,15 @@ class EspnetEncoderLayer(nn.Module):
     dropout: float = 0.1
     attn_dropout: float = 0.1
     normalize_before: bool = True
+    attn_implementation: str = "shift"
 
     @nn.compact
     def __call__(self, x, valid_mask=None, train: bool = False):
         residual = x
         h = nn.LayerNorm(epsilon=LN_EPS, name="norm1")(x) if self.normalize_before else x
         h = EspnetSelfAttention(
-            self.d_model, self.num_heads, self.attn_dropout, name="self_attn"
+            self.d_model, self.num_heads, self.attn_dropout,
+            attn_implementation=self.attn_implementation, name="self_attn",
         )(h, valid_mask, train=train)
         x = residual + nn.Dropout(self.dropout)(h, deterministic=not train)
         if not self.normalize_before:
@@ -152,6 +171,7 @@ class EspnetTransformerEncoder(nn.Module):
     attn_dropout: float = 0.1
     normalize_before: bool = True
     use_scaled_pos_enc: bool = True
+    attn_implementation: str = "shift"
     remat: bool = False
 
     @nn.compact
@@ -191,6 +211,7 @@ class EspnetTransformerEncoder(nn.Module):
                 self.dropout,
                 self.attn_dropout,
                 self.normalize_before,
+                self.attn_implementation,
                 name=f"layer_{i}",
             )(x, attn_mask, train)
         if self.normalize_before:
