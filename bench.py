@@ -335,8 +335,9 @@ def stage_jets_imported():
     }
 
 
-def stage_fs2():
-    """Config 1: batched FastSpeech2 mel-only inference."""
+def stage_fs2(attn=None):
+    """Config 1: batched FastSpeech2 mel-only inference. ``attn`` overrides
+    hparams[attn_implementation] (None = config default "shift")."""
     import jax
     import jax.numpy as jnp
 
@@ -345,9 +346,12 @@ def stage_fs2():
     from viet_tts_tpu.train.state import init_on_cpu
 
     conf = _conf("fastspeech2")
+    hp = dict(conf["models"]["fastspeech2"])
+    if attn is not None:
+        hp["attn_implementation"] = attn
     model = FastSpeech2(
         n_symbols=NUM_SYMBOLS, n_channels=80,
-        hparams=conf["models"]["fastspeech2"], stats=REF_STATS, n_speakers=2,
+        hparams=hp, stats=REF_STATS, n_speakers=2,
     )
     rng = np.random.RandomState(0)
     key = jax.random.PRNGKey(0)
@@ -373,11 +377,19 @@ def stage_fs2():
 
     dt = _honest_time(synth, variables, sids, text, text_lens, feats, aids)
     frames = B * T_MEL
+    suffix = f"_{attn}" if attn else ""
     return {
-        "fs2_mel_frames_per_sec": frames / dt,
-        "rtf_fs2_mel": dt / (frames * HOP / SR),
+        f"fs2_mel_frames_per_sec{suffix}": frames / dt,
+        f"rtf_fs2_mel{suffix}": dt / (frames * HOP / SR),
         "platform": _platform(),
     }
+
+
+def stage_fs2_flash():
+    """FS2 serving with the fused Pallas flash attention
+    (ops/pallas_attention.py) on both conformer stacks: A/B against
+    stage_fs2's shift path (rtf_fs2_mel vs rtf_fs2_mel_flash)."""
+    return stage_fs2(attn="flash")
 
 
 def stage_stream_ttfa():
@@ -547,7 +559,7 @@ def stage_vits2():
 # ---------------------------------------------------------------------------
 
 
-def _fs2_train_setup(remat=False):
+def _fs2_train_setup(remat=False, attn=None):
     import jax
     import jax.numpy as jnp
 
@@ -559,6 +571,8 @@ def _fs2_train_setup(remat=False):
     hp = dict(conf["models"]["fastspeech2"])
     if remat:
         hp["remat"] = True
+    if attn is not None:
+        hp["attn_implementation"] = attn
     model = FastSpeech2(
         n_symbols=NUM_SYMBOLS, n_channels=80,
         hparams=hp, stats=REF_STATS, n_speakers=2,
@@ -598,12 +612,12 @@ def _fs2_train_setup(remat=False):
     return model, criterion, state, batch
 
 
-def _bench_fs2_train(mixed_precision, remat=False):
+def _bench_fs2_train(mixed_precision, remat=False, attn=None):
     import jax
 
     from viet_tts_tpu.train.steps import make_fs2_train_step
 
-    model, criterion, state, batch = _fs2_train_setup(remat=remat)
+    model, criterion, state, batch = _fs2_train_setup(remat=remat, attn=attn)
     step = jax.jit(make_fs2_train_step(model, criterion, mixed_precision))
     key = jax.random.PRNGKey(0)
 
@@ -615,6 +629,8 @@ def _bench_fs2_train(mixed_precision, remat=False):
     tag = "train_fs2_bf16" if mixed_precision else "train_fs2"
     if remat:
         tag += "_remat"
+    if attn:
+        tag += f"_{attn}"
     out = {
         f"{tag}_steps_per_sec": 1.0 / dt,
         f"{tag}_sec_per_step": dt,
@@ -648,6 +664,20 @@ def stage_train_fs2_bf16_remat():
     """bf16 mixed-precision step + per-block remat: the combination PERF
     NOTES §2 predicts should finally make bf16 pay off for training."""
     return _bench_fs2_train(True, remat=True)
+
+
+def stage_train_fs2_dense_attn():
+    """fp32 step with the factorized dense attention (no XL shift copies;
+    ops/xl_attention.py): isolates the shift-copy HBM traffic vs
+    stage_train_fs2. Attention-weight dropout semantics are preserved."""
+    return _bench_fs2_train(False, attn="dense")
+
+
+def stage_train_fs2_best():
+    """bf16 + per-block remat + dense factorized attention: the
+    configuration PERF_NOTES.md §2 predicts minimises the byte-bound
+    critical path (keys: train_fs2_bf16_remat_dense_*)."""
+    return _bench_fs2_train(True, remat=True, attn="dense")
 
 
 def stage_train_jets_gan(remat=False):
@@ -1280,6 +1310,9 @@ STAGES = {
     "train_fs2": stage_train_fs2,
     "train_fs2_bf16": stage_train_fs2_bf16,
     "train_fs2_remat": stage_train_fs2_remat,
+    "train_fs2_dense_attn": stage_train_fs2_dense_attn,
+    "train_fs2_best": stage_train_fs2_best,
+    "fs2_flash": stage_fs2_flash,
     "train_fs2_bf16_remat": stage_train_fs2_bf16_remat,
     "train_jets_gan": stage_train_jets_gan,
     "train_jets_gan_remat": stage_train_jets_gan_remat,
@@ -1325,6 +1358,11 @@ PROCESS_GROUPS = [
                    "train_jets_gan"], 1800, "tpu"),
     ("tpu_rest", ["fs2", "matcha", "vits2", "jets_unpacked",
                   "stream_ttfa"], 1500, "tpu"),
+    # attention-implementation A/B (r3: factorized/flash attention,
+    # ops/pallas_attention.py): dense-attn train step + the predicted-best
+    # bf16+remat+dense combo + the flash serving graph
+    ("tpu_attn", ["train_fs2_dense_attn", "train_fs2_best", "fs2_flash"],
+     1800, "tpu"),
     # remat A/B rides last: two fresh train-step compiles that only refine
     # the training story (train_fs2/_bf16 above already carry the headline
     # train numbers) — a timeout here loses nothing upstream.

@@ -108,6 +108,32 @@ def test_flash_fully_padded_row_matches_dense():
     )
 
 
+def test_flash_cpu_fallback_no_interpret():
+    """Without interpret mode, the flash entry points must still execute on
+    the CPU backend: `_platform_forward` lowers the dense oracle there
+    (eager init via train/state.py:init_on_cpu and the virtual-CPU
+    multi-chip dryrun both hit this path)."""
+    T = 32
+    q, k, v, u, v_b, pk, table, scale = _inputs(T, seed=40)
+    pad = jnp.arange(T)[None, :] >= jnp.asarray([T, T - 5])[:, None]
+    want = xl_attention(q, k, v, u, v_b, pk, table, scale, pad_mask=pad)
+    got = xl_attention(  # no force_tpu_interpret_mode: plain CPU lowering
+        q, k, v, u, v_b, pk, table, scale, pad_mask=pad,
+        implementation="flash",
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+    )
+    jitted = jax.jit(
+        lambda *a: jnp.sum(
+            xl_attention(
+                *a, table, scale, pad_mask=pad, implementation="flash"
+            )
+        )
+    )
+    assert np.isfinite(float(jitted(q, k, v, u, v_b, pk)))
+
+
 @pytest.mark.parametrize("impl", ["dense", "flash"])
 def test_conformer_encoder_impl_equivalence(impl):
     """Full ConformerEncoder output is implementation-invariant: the

@@ -9,6 +9,7 @@ final LayerNorm, padding zeroed at block end.
 
 from __future__ import annotations
 
+import math
 from typing import Optional, Tuple
 
 import flax.linen as nn
@@ -104,6 +105,9 @@ class RelativeMultiHeadAttention(nn.Module):
             impl = "dense"  # keep attention-weight dropout semantics
 
         if impl != "shift":
+            # static float: the Pallas kernel closes over scale at trace
+            # time (a traced jnp scalar would ConcretizationTypeError)
+            scale = 1.0 / math.sqrt(self.d_model)
             # factorized paths consume the raw sinusoid table (the rotation
             # identity in ops/xl_attention.py requires it; the encoders pass
             # exactly that, broadcast over batch) and the pos_proj kernel

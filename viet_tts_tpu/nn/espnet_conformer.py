@@ -21,6 +21,7 @@ style, CNN module, conv1d positionwise layers). Components:
 from __future__ import annotations
 
 import functools
+import math
 from typing import Optional, Tuple
 
 import flax.linen as nn
@@ -104,6 +105,9 @@ class RelPositionMultiHeadedAttention(nn.Module):
             impl = "dense"  # keep attention-weight dropout semantics
 
         if impl != "shift":
+            # static float: the Pallas kernel closes over scale at trace
+            # time (a traced jnp scalar would ConcretizationTypeError)
+            scale = 1.0 / math.sqrt(D)
             # factorized paths: pull the linear_pos kernel onto the query
             # side (identity feed creates + reads the flax param; E x E,
             # negligible) and dot against the raw sinusoid table

@@ -119,7 +119,7 @@ def _xl_kernel(
     j = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + ik * bk
     pos = jnp.where(j <= i, pa, jnp.where(j >= i + 2, pb, 0.0))
     logits = (s + pos) * scale
-    dead = (pad_ref[0][None, :] > 0.5) | (j >= t_kv)
+    dead = (pad_ref[0, 0][None, :] > 0.5) | (j >= t_kv)
     logits = jnp.where(dead, MASK_NEG, logits)
     _online_softmax_step(
         logits, v_ref[0, 0], out_ref, m_scr, l_scr, acc_scr,
@@ -136,7 +136,7 @@ def _rel_kernel(
     pos = _dot_t(g_ref[0, 0], tab_ref[:])
     logits = (s + pos) * scale
     j = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + ik * bk
-    dead = (pad_ref[0][None, :] > 0.5) | (j >= t_kv)
+    dead = (pad_ref[0, 0][None, :] > 0.5) | (j >= t_kv)
     logits = jnp.where(dead, MASK_NEG, logits)
     _online_softmax_step(
         logits, v_ref[0, 0], out_ref, m_scr, l_scr, acc_scr,
@@ -151,11 +151,24 @@ def _plain_kernel(
     ik = pl.program_id(3)
     logits = _dot_t(q_ref[0, 0], k_ref[0, 0]) * scale
     j = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + ik * bk
-    dead = (pad_ref[0][None, :] > 0.5) | (j >= t_kv)
+    dead = (pad_ref[0, 0][None, :] > 0.5) | (j >= t_kv)
     logits = jnp.where(dead, MASK_NEG, logits)
     _online_softmax_step(
         logits, v_ref[0, 0], out_ref, m_scr, l_scr, acc_scr,
         ik, pl.num_programs(3),
+    )
+
+
+def _platform_forward(pallas_fn, dense_fn, operands, scale):
+    """Resolve the forward at lowering time: the Pallas kernel on TPU, the
+    dense factorized oracle on every other backend.  Eager CPU execution
+    (``train/state.py:init_on_cpu``), the virtual-CPU multi-chip dryrun,
+    and CPU test meshes all lower the dense branch; real-chip executables
+    lower only the kernel."""
+    return jax.lax.platform_dependent(
+        *operands,
+        tpu=functools.partial(pallas_fn, scale=scale),
+        default=functools.partial(dense_fn, scale=scale),
     )
 
 
@@ -181,10 +194,11 @@ def _call_flash(kernel_fn, q_streams, k_streams, v, tables, pad, scale):
         (1, 1, bk, d), lambda b, h, q, kk: (b, h, kk, 0)
     )
     tab_spec = lambda e: pl.BlockSpec((bk, e), lambda b, h, q, kk: (kk, 0))
-    pad_spec = pl.BlockSpec((1, bk), lambda b, h, q, kk: (b, kk))
+    pad_spec = pl.BlockSpec((1, 1, bk), lambda b, h, q, kk: (b, 0, kk))
 
     args = (
-        [q_streams[0]] + k_streams + [v] + q_streams[1:] + tables + [pad]
+        [q_streams[0]] + k_streams + [v] + q_streams[1:] + tables
+        + [pad.reshape(B, 1, T)]
     )
     in_specs = (
         [q_spec(q_streams[0].shape[-1])]
@@ -218,9 +232,15 @@ def _call_flash(kernel_fn, q_streams, k_streams, v, tables, pad, scale):
 # --------------------------------------------------------------------------
 
 
-def _xl_forward(qc, k, v, gA, gB, table, pad, scale):
+def _xl_pallas(qc, k, v, gA, gB, table, pad, *, scale):
     # _call_flash arg order: qc, k, v, gA, gB, tab, pad == _xl_kernel's
     return _call_flash(_xl_kernel, [qc, gA, gB], [k], v, [table], pad, scale)
+
+
+def _xl_forward(qc, k, v, gA, gB, table, pad, scale):
+    return _platform_forward(
+        _xl_pallas, _xl_dense, (qc, k, v, gA, gB, table, pad), scale
+    )
 
 
 def _xl_dense(qc, k, v, gA, gB, table, pad, scale):
@@ -295,8 +315,14 @@ def flash_xl_attention(
 # --------------------------------------------------------------------------
 
 
-def _rel_forward(qc, k, v, g, table, pad, scale):
+def _rel_pallas(qc, k, v, g, table, pad, *, scale):
     return _call_flash(_rel_kernel, [qc, g], [k], v, [table], pad, scale)
+
+
+def _rel_forward(qc, k, v, g, table, pad, scale):
+    return _platform_forward(
+        _rel_pallas, _rel_dense, (qc, k, v, g, table, pad), scale
+    )
 
 
 def _rel_dense(qc, k, v, g, table, pad, scale):
@@ -363,8 +389,12 @@ def flash_rel_attention(
 # --------------------------------------------------------------------------
 
 
-def _plain_forward(q, k, v, pad, scale):
+def _plain_pallas(q, k, v, pad, *, scale):
     return _call_flash(_plain_kernel, [q], [k], v, [], pad, scale)
+
+
+def _plain_forward(q, k, v, pad, scale):
+    return _platform_forward(_plain_pallas, _plain_dense, (q, k, v, pad), scale)
 
 
 def _plain_dense(q, k, v, pad, scale):
