@@ -559,7 +559,7 @@ def stage_vits2():
 # ---------------------------------------------------------------------------
 
 
-def _fs2_train_setup(remat=False, attn=None):
+def _fs2_train_setup(remat=False, attn=None, batch_size=None):
     import jax
     import jax.numpy as jnp
 
@@ -578,7 +578,7 @@ def _fs2_train_setup(remat=False, attn=None):
         hparams=hp, stats=REF_STATS, n_speakers=2,
     )
     rng = np.random.RandomState(0)
-    Bt, Tt, Tm = TRAIN_B, T_TEXT, T_MEL
+    Bt, Tt, Tm = (batch_size or TRAIN_B), T_TEXT, T_MEL
     batch = dict(
         text=jnp.asarray(rng.randint(1, NUM_SYMBOLS, (Bt, Tt)).astype(np.int32)),
         text_lengths=jnp.asarray(np.full(Bt, Tt, np.int32)),
@@ -612,12 +612,14 @@ def _fs2_train_setup(remat=False, attn=None):
     return model, criterion, state, batch
 
 
-def _bench_fs2_train(mixed_precision, remat=False, attn=None):
+def _bench_fs2_train(mixed_precision, remat=False, attn=None, batch_size=None):
     import jax
 
     from viet_tts_tpu.train.steps import make_fs2_train_step
 
-    model, criterion, state, batch = _fs2_train_setup(remat=remat, attn=attn)
+    model, criterion, state, batch = _fs2_train_setup(
+        remat=remat, attn=attn, batch_size=batch_size
+    )
     step = jax.jit(make_fs2_train_step(model, criterion, mixed_precision))
     key = jax.random.PRNGKey(0)
 
@@ -631,9 +633,12 @@ def _bench_fs2_train(mixed_precision, remat=False, attn=None):
         tag += "_remat"
     if attn:
         tag += f"_{attn}"
+    if batch_size:
+        tag += f"_b{batch_size}"
     out = {
         f"{tag}_steps_per_sec": 1.0 / dt,
         f"{tag}_sec_per_step": dt,
+        f"{tag}_samples_per_sec": (batch_size or TRAIN_B) / dt,
     }
     cost = _cost_analysis(step, state, batch, key)
     if cost["flops"]:
@@ -678,6 +683,19 @@ def stage_train_fs2_best():
     configuration PERF_NOTES.md §2 predicts minimises the byte-bound
     critical path (keys: train_fs2_bf16_remat_dense_*)."""
     return _bench_fs2_train(True, remat=True, attn="dense")
+
+
+def stage_train_fs2_b32():
+    """fp32 step at B=32 (4x the reference's B=8): the B=8 step is
+    latency-bound (serial alignment scans + dispatch; PERF_NOTES.md §2),
+    so per-chip training throughput is demonstrated by batch depth —
+    scan length and bookkeeping bytes are batch-independent."""
+    return _bench_fs2_train(False, batch_size=32)
+
+
+def stage_train_fs2_bf16_b32():
+    """bf16 mixed-precision step at B=32 (keys: train_fs2_bf16_b32_*)."""
+    return _bench_fs2_train(True, batch_size=32)
 
 
 def stage_train_jets_gan(remat=False):
@@ -1312,6 +1330,8 @@ STAGES = {
     "train_fs2_remat": stage_train_fs2_remat,
     "train_fs2_dense_attn": stage_train_fs2_dense_attn,
     "train_fs2_best": stage_train_fs2_best,
+    "train_fs2_b32": stage_train_fs2_b32,
+    "train_fs2_bf16_b32": stage_train_fs2_bf16_b32,
     "fs2_flash": stage_fs2_flash,
     "train_fs2_bf16_remat": stage_train_fs2_bf16_remat,
     "train_jets_gan": stage_train_jets_gan,
@@ -1371,6 +1391,10 @@ PROCESS_GROUPS = [
     # the heaviest trainer, one fresh compile; last so a timeout loses
     # nothing upstream
     ("tpu_train_vits2", ["train_vits2"], 1500, "tpu"),
+    # batch-depth training throughput (B=32 vs the reference's B=8): the
+    # B=8 step is latency-bound, so this carries the per-chip training
+    # throughput story. Last: purely additive evidence.
+    ("tpu_train_b32", ["train_fs2_b32", "train_fs2_bf16_b32"], 1800, "tpu"),
 ]
 
 
