@@ -152,7 +152,11 @@ def test_preemption_sigterm_checkpoints_and_resumes(workdir):
         raise AssertionError("signal not delivered")
 
     trainer.train_one_epoch = preempted_epoch
+    before_run = signal.getsignal(signal.SIGTERM)
     trainer.run()  # returns (no unhandled signal / exception)
+    # the preemption handler must not leak past run() into the embedding
+    # process (a later SIGTERM would raise Preempted in unrelated code)
+    assert signal.getsignal(signal.SIGTERM) is before_run
     path = ckpt.scan_checkpoint(args.output_folder, trainer.ckpt_prefix)
     assert path is not None
     _, it = ckpt.parse_checkpoint_name(path)

@@ -224,39 +224,58 @@ class BaseTrainer:
 
         try:
             self._prev_sigterm = signal.signal(signal.SIGTERM, _raise)
+            self._sigterm_installed = True
         except ValueError:  # not the main thread (e.g. under a test runner)
             self._prev_sigterm = None
+            self._sigterm_installed = False
+
+    def _restore_preemption_handler(self):
+        """Put the pre-`run()` SIGTERM disposition back so the handler does
+        not outlive training in an embedding process (servers, notebooks,
+        test runners)."""
+        import signal
+
+        if not getattr(self, "_sigterm_installed", False):
+            return
+        self._sigterm_installed = False
+        try:
+            signal.signal(signal.SIGTERM, self._prev_sigterm)
+        except (ValueError, TypeError):
+            pass
 
     def run(self):
         log.info(f"{self.task}: start training on {jax.devices()[0].platform}")
         self._install_preemption_handler()
-        if getattr(self.args, "profile", False):
-            from viet_tts_tpu.utils.profiling import trace
-
-            with trace(os.path.join(self.args.output_folder, "log/profile")):
-                self.train_one_epoch()
-            log.info("profiler trace written to log/profile")
         try:
-            while self.iter < self.args.max_iter:
-                t0 = time.time()
-                self.train_one_epoch()
-                self.valid_one_epoch()
-                self._log_histograms()
-                self.save_model()
+            if getattr(self.args, "profile", False):
+                from viet_tts_tpu.utils.profiling import trace
+
+                with trace(os.path.join(self.args.output_folder, "log/profile")):
+                    self.train_one_epoch()
+                log.info("profiler trace written to log/profile")
+            try:
+                while self.iter < self.args.max_iter:
+                    t0 = time.time()
+                    self.train_one_epoch()
+                    self.valid_one_epoch()
+                    self._log_histograms()
+                    self.save_model()
+                    log.info(
+                        f"Epoch {self.epoch} done in {time.time() - t0:.1f}s "
+                        f"(iter {self.iter}/{self.args.max_iter})"
+                    )
+                    self.epoch += 1
+            except Preempted:
                 log.info(
-                    f"Epoch {self.epoch} done in {time.time() - t0:.1f}s "
-                    f"(iter {self.iter}/{self.args.max_iter})"
+                    f"SIGTERM at epoch {self.epoch} iter {self.iter}: writing "
+                    "preemption checkpoint"
                 )
-                self.epoch += 1
-        except Preempted:
-            log.info(
-                f"SIGTERM at epoch {self.epoch} iter {self.iter}: writing "
-                "preemption checkpoint"
-            )
-            self.save_model()
-            log.info("preemption checkpoint saved; exiting cleanly")
-            return
-        log.info("training complete")
+                self.save_model()
+                log.info("preemption checkpoint saved; exiting cleanly")
+                return
+            log.info("training complete")
+        finally:
+            self._restore_preemption_handler()
 
     def _log_histograms(self):
         state = getattr(self, "state", None) or getattr(self, "gen_state", None)
