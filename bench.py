@@ -1001,6 +1001,94 @@ def stage_cpu_anchor():
     }
 
 
+def stage_cpu_train_anchor():
+    """Training-step anchor: the reference's OWN FastSpeech2 train step
+    (forward + FastSpeech2Loss + backward + AdamW.step, mirroring
+    `/root/reference/src/trainer/fastspeech2_trainer.py:125-148`) on
+    torch-CPU at the reference's train batch (`config/train_config.yaml:2`).
+
+    Supervised durations (learn_alignment=False): the unsupervised path's
+    numba MAS cannot run compiled here (numba is absent; the pure-Python
+    stub would be unfairly slow), so this anchor UNDERCOUNTS the
+    reference's real unsupervised step cost while our `train_fs2` stage
+    runs the full in-graph alignment — the derived `train_vs_baseline`
+    is therefore conservative in the reference's favour."""
+    import torch
+    import yaml
+
+    torch.set_num_threads(os.cpu_count() or 8)
+    TorchFS2, _ = _load_reference_models()
+    hp, _ = _reference_fs2_hparams()
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    try:
+        from models.tts.fastspeech2.loss import FastSpeech2Loss as TorchLoss
+    finally:
+        sys.path.remove(REFERENCE)
+    with open(os.path.join(REFERENCE, "config", "train_config.yaml")) as f:
+        tc = yaml.safe_load(f)["fastspeech2"]
+    loss_conf = dict(tc["loss"])
+    ve = hp["variance"]["variance_embedding"]
+    loss_conf["pitch_feature_level"] = ve["pitch_feature"]
+    loss_conf["energy_feature_level"] = ve["energy_feature"]
+
+    torch.manual_seed(0)
+    model = TorchFS2(
+        n_symbols=131, n_channels=80, hparams=hp, stats=REF_STATS,
+        n_speakers=2,
+    ).train()
+    criterion = TorchLoss(200000, loss_conf)
+    oc = tc["optimizer"]
+    opt = torch.optim.AdamW(
+        model.parameters(), lr=oc["lr"], betas=tuple(oc["betas"]),
+        eps=oc["eps"], weight_decay=oc["weight_decay"],
+    )
+
+    # measure at TRAIN_B/4 and scale linearly (same accounting as the
+    # inference anchor: CPU throughput is batch-linear at these sizes)
+    b = max(TRAIN_B // 4, 1)
+    rng = np.random.RandomState(0)
+    text = torch.from_numpy(rng.randint(1, 131, (b, T_TEXT))).long()
+    text_lens = torch.full((b,), T_TEXT, dtype=torch.long)
+    dur = torch.full((b, T_TEXT), T_MEL // T_TEXT, dtype=torch.long)
+    feats_lens = torch.full((b,), T_MEL, dtype=torch.long)
+    feats = torch.from_numpy(rng.randn(b, T_MEL, 80).astype(np.float32))
+    pitch = torch.from_numpy(rng.randn(b, T_MEL).astype(np.float32))
+    energy = torch.from_numpy(rng.randn(b, T_MEL).astype(np.float32))
+    sids = torch.zeros(b, dtype=torch.long)
+    aids = torch.zeros(b, dtype=torch.long) if hp.get("use_cvae") else None
+    # word boundaries: 4 phonemes/word (wdur/sdur λ=0 in the shipped config)
+    bids = [[4] * (T_TEXT // 4) for _ in range(b)]
+
+    def run(it):
+        y_pred, y_extra = model(
+            text, text_lens, feats.clone(), feats_lens, dur,
+            pitch.clone(), energy.clone(), sids, aids, it,
+        )
+        # trainer semantics: criterion(y_pred, y[1:] + y_extra), total =
+        # sum of every (possibly nested) loss value
+        losses = criterion(y_pred, [feats, bids] + list(y_extra), step=it)
+        total = sum(
+            v
+            for l in losses.values()
+            for v in (l.values() if isinstance(l, dict) else [l])
+        )
+        opt.zero_grad()
+        total.backward()
+        opt.step()
+
+    run(0)  # warmup
+    t0 = time.perf_counter()
+    run(1)
+    dt_small = time.perf_counter() - t0
+    dt = dt_small * (TRAIN_B / b)
+    return {
+        "sec_per_step_reference_cpu_train_fs2": dt,
+        "cpu_train_anchor_measured_batch": b,
+        "cpu_train_anchor_sec_measured": dt_small,
+    }
+
+
 def stage_mcd(n_mcep=13):
     """BASELINE target 3: import the reference FS2's weights, synthesize the
     same inputs both ways, report MCD (dB). Runs on CPU (forced by the
@@ -1343,6 +1431,7 @@ STAGES = {
     "jets_b64_bf16": stage_jets_b64_bf16,
     "jets_unpacked": stage_jets_unpacked,
     "cpu_anchor": stage_cpu_anchor,
+    "cpu_train_anchor": stage_cpu_train_anchor,
     "mcd": stage_mcd,
     "mcd_jets": stage_mcd_jets,
     "mcd_vits2": stage_mcd_vits2,
@@ -1362,7 +1451,7 @@ PROCESS_GROUPS = [
     # remote executable loads dominate stage time on the axon runtime, so
     # same-graph stages belong in the same child.
     ("tpu_headline", ["jets", "two_stage", "jets_imported"], 1800, "tpu"),
-    ("cpu_anchor", ["cpu_anchor"], 600, "cpu-torch"),
+    ("cpu_anchor", ["cpu_anchor", "cpu_train_anchor"], 900, "cpu-torch"),
     # cheap when warm (~30s) and carries the mcd_* keys -> before the big
     # TPU groups so a tight driver timeout still captures them
     ("cpu_eval", ["mcd", "mcd_jets", "mcd_vits2", "mcd_matcha",
@@ -1455,6 +1544,15 @@ def build_result(acc):
         result["vs_baseline"] = round(
             acc["sec_per_batch_reference_cpu_fs2_hifigan"]
             / acc["sec_per_batch_two_stage"], 2
+        )
+    if ("sec_per_step_reference_cpu_train_fs2" in acc
+            and "train_fs2_sec_per_step" in acc):
+        # conservative: the torch anchor runs the cheaper supervised step
+        # while train_fs2 runs the full in-graph alignment (see
+        # stage_cpu_train_anchor docstring)
+        result["train_vs_baseline"] = round(
+            acc["sec_per_step_reference_cpu_train_fs2"]
+            / acc["train_fs2_sec_per_step"], 2
         )
     if "train_fs2_sec_per_step" in acc and "train_fs2_bf16_sec_per_step" in acc:
         result["train_fs2_bf16_speedup"] = round(
@@ -1633,7 +1731,9 @@ def main():
         orchestrate()
         return
     names = [s for s in args.stages.split(",") if s]
-    needs_jax = any(n not in ("cpu_anchor",) for n in names)
+    needs_jax = any(
+        n not in ("cpu_anchor", "cpu_train_anchor") for n in names
+    )
     if needs_jax:
         if os.environ.get("BENCH_FORCE_CPU"):
             import jax
