@@ -10,12 +10,19 @@ Structure:
 - the parent process (this file, no args) runs pure Python: it spawns each
   stage GROUP as a subprocess with a hard wall-clock timeout, streams the
   per-stage JSON dicts the children print, merges them, and re-emits the
-  consolidated superset line immediately.
+  consolidated superset line immediately AND as a ~30s heartbeat, so any
+  kill-time tail snapshot ends with a parseable JSON line.
+- child stderr is quarantined to bench_logs/<group>.log (rounds 2-3: XLA
+  C++ log spam piped through the parent flooded the driver-captured tail;
+  children additionally run with TF_CPP_MIN_LOG_LEVEL force-assigned to 3).
 - ``python bench.py --stages a,b,c`` is the child entry: runs the named
   stages in-process, printing one JSON dict line per finished stage.
-- all JAX stages enable the persistent compilation cache (.jax_cache/), so
-  repeated runs (and the driver's end-of-round run) skip the expensive
-  remote axon compiles.
+- all JAX stages enable the persistent compilation cache (.jax_cache/;
+  machine-keyed for CPU backends — see viet_tts_tpu/utils/compile_cache.py),
+  so repeated runs skip the expensive remote axon compiles.
+- BENCH_BUDGET_S (default 1500) bounds the whole run; groups are ordered
+  so the required keys (vs_baseline, rtf_jets, mfu_jets*, train_fs2_*,
+  mcd_vs_reference*) land inside the first ~20 minutes.
 
 The reference publishes no numbers (BASELINE.md), so vs_baseline anchors
 against the reference's OWN torch code (`models/tts/fastspeech2/model.py:105-193`
@@ -54,15 +61,14 @@ def note(msg):
 
 def _enable_compile_cache():
     """Persistent XLA compilation cache: axon remote compiles can take
-    minutes; cache hits load in <1s and survive across processes/rounds."""
-    import jax
-
+    minutes; cache hits load in <1s and survive across processes/rounds.
+    CPU-backend processes get a machine-keyed directory so cross-machine
+    AOT loads (the r2/r3 log-spam source) cannot happen — see
+    viet_tts_tpu/utils/compile_cache.py."""
     try:
-        jax.config.update(
-            "jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache")
-        )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        from viet_tts_tpu.utils.compile_cache import enable_persistent_cache
+
+        enable_persistent_cache(REPO)
     except Exception:
         pass
 
@@ -185,7 +191,8 @@ def _platform():
 
 
 def _bench_jets(batch=B, fused_mrf=False, prefix="jets", variables=None,
-                n_speakers=2, packed_tail=True, with_bf16=True):
+                n_speakers=2, packed_tail=True, with_bf16=True,
+                t_mel=None, t_text=None):
     """Fused JETS text->waveform single-graph inference (headline config)."""
     import jax
     import jax.numpy as jnp
@@ -195,6 +202,8 @@ def _bench_jets(batch=B, fused_mrf=False, prefix="jets", variables=None,
     from viet_tts_tpu.text import NUM_SYMBOLS
     from viet_tts_tpu.train.state import init_on_cpu
 
+    t_mel = t_mel or T_MEL
+    t_text = t_text or T_TEXT
     conf = _conf("jets")
     hp = dict(conf["models"]["jets"]["generator_params"])
     hp["fused_mrf"] = fused_mrf
@@ -205,15 +214,15 @@ def _bench_jets(batch=B, fused_mrf=False, prefix="jets", variables=None,
     )
     rng = np.random.RandomState(0)
     key = jax.random.PRNGKey(0)
-    text = jnp.asarray(rng.randint(1, NUM_SYMBOLS, (batch, T_TEXT)).astype(np.int32))
-    text_lens = jnp.asarray(np.full(batch, T_TEXT, np.int32))
+    text = jnp.asarray(rng.randint(1, NUM_SYMBOLS, (batch, t_text)).astype(np.int32))
+    text_lens = jnp.asarray(np.full(batch, t_text, np.int32))
     sids = jnp.asarray(np.zeros(batch, np.int32))
 
     if variables is None:
         variables = init_on_cpu(
             model.init,
             {"params": key, "dropout": key, "noise": key},
-            sids, text, text_lens, T_MEL,
+            sids, text, text_lens, t_mel,
             method=model.inference,
         )
     else:
@@ -224,11 +233,11 @@ def _bench_jets(batch=B, fused_mrf=False, prefix="jets", variables=None,
     @jax.jit
     def synth(variables, sids, text, text_lens):
         return model.apply(
-            variables, sids, text, text_lens, T_MEL, method=model.inference
+            variables, sids, text, text_lens, t_mel, method=model.inference
         )
 
     dt = _honest_time(synth, variables, sids, text, text_lens)
-    samples = batch * T_MEL * HOP  # static budget (audio_accounting note)
+    samples = batch * t_mel * HOP  # static budget (audio_accounting note)
     audio_seconds = samples / SR
     out = {
         f"rtf_{prefix}": dt / audio_seconds,
@@ -269,7 +278,49 @@ def _bench_jets(batch=B, fused_mrf=False, prefix="jets", variables=None,
         out["jets_bf16_wav_relerr"] = float(
             np.sqrt(np.mean((a - b) ** 2)) / denom
         )
+        # perceptual bound (VERDICT r3 item 6): MCD + log-spectral distance
+        # between the bf16 and fp32 waveforms — RMS relerr alone does not
+        # bound audibility. Computed from our own LogMelFbank on both.
+        try:
+            out.update(_bf16_fidelity(a, b))
+        except Exception:
+            pass
     return out
+
+
+def _bf16_fidelity(wav_fp32, wav_bf16):
+    """MCD (dB) and band-limited log-spectral distance (dB, 0-8 kHz) of the
+    bf16 serving waveform against the fp32 graph's output."""
+    import jax.numpy as jnp
+
+    from viet_tts_tpu.dsp.stft import (
+        log_mel_spectrogram,
+        spectrogram_amplitude,
+        stft,
+    )
+    from viet_tts_tpu.eval.mcd import mcd
+
+    mcds, lsds = [], []
+    n_bins_8k = None
+    for i in range(min(wav_fp32.shape[0], 4)):  # 4 utts bound the cost
+        a = jnp.asarray(wav_fp32[i], jnp.float32)
+        b = jnp.asarray(wav_bf16[i], jnp.float32)
+        m_a = np.asarray(log_mel_spectrogram(a))
+        m_b = np.asarray(log_mel_spectrogram(b))
+        mcds.append(mcd(m_b, m_a, 13))
+        s_a = np.asarray(spectrogram_amplitude(stft(a)))
+        s_b = np.asarray(spectrogram_amplitude(stft(b)))
+        if n_bins_8k is None:
+            # fft bins up to 8 kHz: n_fft//2+1 bins span 0..sr/2
+            n_bins_8k = int(round(s_a.shape[-1] * 8000.0 / (SR / 2)))
+        la = np.log10(np.maximum(s_a[..., :n_bins_8k], 1e-8))
+        lb = np.log10(np.maximum(s_b[..., :n_bins_8k], 1e-8))
+        lsds.append(float(np.mean(np.sqrt(np.mean((20 * (la - lb)) ** 2,
+                                                  axis=-1)))))
+    return {
+        "mcd_bf16_vs_fp32": float(np.mean(mcds)),
+        "lsd_bf16_vs_fp32_db": float(np.mean(lsds)),
+    }
 
 
 def stage_jets():
@@ -305,6 +356,17 @@ def stage_jets_b64():
 def stage_jets_b64_bf16():
     out = _bench_jets(64, False, "jets_b64", with_bf16=True)
     return {k: v for k, v in out.items() if "bf16" in k}
+
+
+def stage_jets_t1008():
+    """Serve-at-max-length evidence (VERDICT r3 item 7): JETS at the
+    1008-frame bucket, the reference's utterance length cap
+    (`/root/reference/src/tools/tools_for_data.py:40-43`, max_seq_len 1000
+    at `config/model_config.yaml:2`), confirming the static-bucket story
+    holds at the extreme. B=4 bounds the compile/runtime cost; RTF is
+    per-audio-second so it composes with the B=16 headline."""
+    return _bench_jets(4, False, "jets_t1008", t_mel=1008, t_text=128,
+                       with_bf16=True)
 
 
 
@@ -424,7 +486,7 @@ def stage_stream_ttfa():
     }
 
 
-def stage_two_stage():
+def stage_two_stage(t_mel=None, batch=None, suffix=""):
     """Config 2: FS2 conformer mel -> HiFi-GAN waveform, one fused graph."""
     import jax
     import jax.numpy as jnp
@@ -434,6 +496,7 @@ def stage_two_stage():
     from viet_tts_tpu.text import NUM_SYMBOLS
     from viet_tts_tpu.train.state import init_on_cpu
 
+    Bt, Tm = (batch or B), (t_mel or T_MEL)
     conf = _conf("fastspeech2")
     acoustic = FastSpeech2(
         n_symbols=NUM_SYMBOLS, n_channels=80,
@@ -446,14 +509,14 @@ def stage_two_stage():
 
     rng = np.random.RandomState(0)
     key = jax.random.PRNGKey(0)
-    text = jnp.asarray(rng.randint(1, NUM_SYMBOLS, (B, T_TEXT)).astype(np.int32))
-    lens = jnp.asarray(np.full(B, T_TEXT, np.int32))
-    feats = jnp.asarray(rng.randn(B, T_MEL, 80).astype(np.float32))
-    sids = jnp.zeros(B, jnp.int32)
-    aids = jnp.zeros(B, jnp.int32)
+    text = jnp.asarray(rng.randint(1, NUM_SYMBOLS, (Bt, T_TEXT)).astype(np.int32))
+    lens = jnp.asarray(np.full(Bt, T_TEXT, np.int32))
+    feats = jnp.asarray(rng.randn(Bt, Tm, 80).astype(np.float32))
+    sids = jnp.zeros(Bt, jnp.int32)
+    aids = jnp.zeros(Bt, jnp.int32)
     av = init_on_cpu(
         acoustic.init, {"params": key, "dropout": key, "reparam": key},
-        sids, text, lens, T_MEL, feats=feats, aids=aids,
+        sids, text, lens, Tm, feats=feats, aids=aids,
         method=acoustic.inference,
     )
     vv = init_on_cpu(vocoder.init, key, feats)
@@ -461,20 +524,26 @@ def stage_two_stage():
     @jax.jit
     def synth(av, vv, sids, text, lens, feats, aids):
         mel, mel_lens, _ = acoustic.apply(
-            av, sids, text, lens, T_MEL, feats=feats, aids=aids,
+            av, sids, text, lens, Tm, feats=feats, aids=aids,
             method=acoustic.inference,
         )
         return vocoder.apply(vv, mel)[..., 0], mel_lens
 
     dt = _honest_time(synth, av, vv, sids, text, lens, feats, aids)
     out = {
-        "rtf_fs2_hifigan_two_stage": dt / (B * T_MEL * HOP / SR),
-        "sec_per_batch_two_stage": dt,
+        f"rtf_fs2_hifigan_two_stage{suffix}": dt / (Bt * Tm * HOP / SR),
+        f"sec_per_batch_two_stage{suffix}": dt,
     }
     flops = _cost_flops(synth, av, vv, sids, text, lens, feats, aids)
     if flops:
-        out["mfu_two_stage"] = flops / dt / _peak_flops()
+        out[f"mfu_two_stage{suffix}"] = flops / dt / _peak_flops()
     return out
+
+
+def stage_two_stage_t1008():
+    """Two-stage serving at the 1008-frame length cap (VERDICT r3 item 7;
+    keys: rtf_fs2_hifigan_two_stage_t1008)."""
+    return stage_two_stage(t_mel=1008, batch=4, suffix="_t1008")
 
 
 def stage_matcha(n_timesteps=10):
@@ -559,7 +628,7 @@ def stage_vits2():
 # ---------------------------------------------------------------------------
 
 
-def _fs2_train_setup(remat=False, attn=None, batch_size=None):
+def _fs2_train_setup(remat=False, attn=None, batch_size=None, t_mel=None):
     import jax
     import jax.numpy as jnp
 
@@ -578,7 +647,7 @@ def _fs2_train_setup(remat=False, attn=None, batch_size=None):
         hparams=hp, stats=REF_STATS, n_speakers=2,
     )
     rng = np.random.RandomState(0)
-    Bt, Tt, Tm = (batch_size or TRAIN_B), T_TEXT, T_MEL
+    Bt, Tt, Tm = (batch_size or TRAIN_B), T_TEXT, (t_mel or T_MEL)
     batch = dict(
         text=jnp.asarray(rng.randint(1, NUM_SYMBOLS, (Bt, Tt)).astype(np.int32)),
         text_lengths=jnp.asarray(np.full(Bt, Tt, np.int32)),
@@ -612,13 +681,14 @@ def _fs2_train_setup(remat=False, attn=None, batch_size=None):
     return model, criterion, state, batch
 
 
-def _bench_fs2_train(mixed_precision, remat=False, attn=None, batch_size=None):
+def _bench_fs2_train(mixed_precision, remat=False, attn=None, batch_size=None,
+                     t_mel=None):
     import jax
 
     from viet_tts_tpu.train.steps import make_fs2_train_step
 
     model, criterion, state, batch = _fs2_train_setup(
-        remat=remat, attn=attn, batch_size=batch_size
+        remat=remat, attn=attn, batch_size=batch_size, t_mel=t_mel
     )
     step = jax.jit(make_fs2_train_step(model, criterion, mixed_precision))
     key = jax.random.PRNGKey(0)
@@ -635,6 +705,8 @@ def _bench_fs2_train(mixed_precision, remat=False, attn=None, batch_size=None):
         tag += f"_{attn}"
     if batch_size:
         tag += f"_b{batch_size}"
+    if t_mel:
+        tag += f"_t{t_mel}"
     out = {
         f"{tag}_steps_per_sec": 1.0 / dt,
         f"{tag}_sec_per_step": dt,
@@ -696,6 +768,34 @@ def stage_train_fs2_b32():
 def stage_train_fs2_bf16_b32():
     """bf16 mixed-precision step at B=32 (keys: train_fs2_bf16_b32_*)."""
     return _bench_fs2_train(True, batch_size=32)
+
+
+def stage_train_fs2_b64():
+    """fp32 step at B=64: the byte-bound regime PERF_NOTES §2 predicts
+    (fp32 (B,H,T,T) score tensors + autodiff traffic actually bind here;
+    VERDICT r3 item 2 — the mitigation A/B was only ever measured at B=8,
+    where the levers cannot help)."""
+    return _bench_fs2_train(False, batch_size=64)
+
+
+def stage_train_fs2_best_b64():
+    """bf16 + per-block remat + dense factorized attention at B=64: the
+    lever stack measured IN the regime where bytes bind
+    (keys: train_fs2_bf16_remat_dense_b64_*)."""
+    return _bench_fs2_train(True, remat=True, attn="dense", batch_size=64)
+
+
+def stage_train_fs2_t1008():
+    """fp32 step at T_mel=1008 — the reference's max_seq_len: 1000 bucket
+    (`/root/reference/config/model_config.yaml:2`), where the (B,H,T,T)
+    byte floor is ~4x the T=512 regime."""
+    return _bench_fs2_train(False, t_mel=1008)
+
+
+def stage_train_fs2_best_t1008():
+    """bf16 + remat + dense attention at T_mel=1008
+    (keys: train_fs2_bf16_remat_dense_t1008_*)."""
+    return _bench_fs2_train(True, remat=True, attn="dense", t_mel=1008)
 
 
 def stage_train_jets_gan(remat=False):
@@ -1366,6 +1466,19 @@ def stage_mcd_matcha(n_mcep=13, n_timesteps=10):
     return {}
 
 
+def stage_noise():
+    """Harness selftest stage (BENCH_SELFTEST=1): spews ~256 KB to stderr
+    (simulating the XLA AOT-loader spam that flooded the r2/r3 driver
+    captures) and returns one key. tests/test_bench_harness.py asserts the
+    parent's combined stream stays clean and ends with consolidated JSON."""
+    spam = ("E0000 00:00:00.000000 0 cpu_aot_loader.cc:210] synthetic "
+            "machine-feature mismatch spam " + "x" * 200)
+    for _ in range(1200):
+        print(spam, file=sys.stderr)
+    sys.stderr.flush()
+    return {"selftest_noise": 1.0}
+
+
 def stage_input_pipeline():
     """Host data-pipeline throughput (VERDICT r2 item 9): time the bucketed
     batcher (C++ collate underneath) over a synthetic cached dataset; the
@@ -1430,6 +1543,13 @@ STAGES = {
     "jets_b64": stage_jets_b64,
     "jets_b64_bf16": stage_jets_b64_bf16,
     "jets_unpacked": stage_jets_unpacked,
+    "jets_t1008": stage_jets_t1008,
+    "two_stage_t1008": stage_two_stage_t1008,
+    "train_fs2_b64": stage_train_fs2_b64,
+    "train_fs2_best_b64": stage_train_fs2_best_b64,
+    "train_fs2_t1008": stage_train_fs2_t1008,
+    "train_fs2_best_t1008": stage_train_fs2_best_t1008,
+    "_noise": stage_noise,
     "cpu_anchor": stage_cpu_anchor,
     "cpu_train_anchor": stage_cpu_train_anchor,
     "mcd": stage_mcd,
@@ -1439,51 +1559,48 @@ STAGES = {
     "input_pipeline": stage_input_pipeline,
 }
 
-# (group name, stages, wall-clock timeout sec, kind). Ordered most-valuable
-# first; each group is one subprocess so a hang forfeits only that group.
-# Within a group the cheapest/highest-value stage runs first: a group
-# timeout only forfeits its tail.
+# (group name, stages, wall-clock timeout sec, kind). Ordered so the
+# VERDICT-required keys land inside the first ~20 minutes even under a
+# tight driver kill timer (round 1, the only driver-captured success, ran
+# roughly that much work): vs_baseline (cpu_anchor + two_stage), rtf_jets/
+# mfu_jets (tpu_headline), mcd_vs_reference* (cpu_eval), train_fs2_*
+# (tpu_train). Each group is one subprocess so a hang forfeits only that
+# group; within a group the cheapest/highest-value stage runs first.
 PROCESS_GROUPS = [
-    # two_stage before jets_b64: it anchors vs_baseline (cpu_anchor /
-    # two_stage), the single most important derived number. jets_imported
-    # rides the headline child because it reuses the already-loaded jets
-    # executable (in-process jit cache): ~30s vs ~300s in a fresh child —
-    # remote executable loads dominate stage time on the axon runtime, so
-    # same-graph stages belong in the same child.
-    ("tpu_headline", ["jets", "two_stage", "jets_imported"], 1800, "tpu"),
-    ("cpu_anchor", ["cpu_anchor", "cpu_train_anchor"], 900, "cpu-torch"),
-    # cheap when warm (~30s) and carries the mcd_* keys -> before the big
-    # TPU groups so a tight driver timeout still captures them
+    # torch-CPU anchors first: no TPU dependency, ~2-4 min, and vs_baseline
+    # is unset without them even if every TPU stage lands
+    ("cpu_anchor", ["cpu_anchor", "cpu_train_anchor"], 420, "cpu-torch"),
+    # jets_imported rides the headline child because it reuses the already
+    # -loaded jets executable (in-process jit cache): ~30s vs ~300s in a
+    # fresh child — remote executable loads dominate stage time on axon
+    ("tpu_headline", ["jets", "two_stage", "jets_imported"], 780, "tpu"),
+    # carries all four mcd_vs_reference* keys; cheap when warm
     ("cpu_eval", ["mcd", "mcd_jets", "mcd_vits2", "mcd_matcha",
-                  "input_pipeline"], 1500, "cpu-jax"),
+                  "input_pipeline"], 600, "cpu-jax"),
+    ("tpu_train", ["train_fs2", "train_fs2_bf16"], 600, "tpu"),
+    # --- everything below is additive evidence; a budget cut-off here
+    # loses no required key ---
+    ("tpu_serve_extra", ["stream_ttfa", "jets_t1008", "two_stage_t1008"],
+     900, "tpu"),
+    ("tpu_train2", ["train_jets_gan", "train_vits2"], 1200, "tpu"),
     # jets_b64 compiles two fresh B=64 executables (fp32 + bf16): the most
-    # compile-expensive stage in the suite. It gets its OWN group so a slow
-    # remote compile can only forfeit itself (r3e: it timed out the whole
-    # headline group twice), and runs after the cheap CPU groups.
-    # bf16 rides the same child: its fp32 half reuses the in-process jit
-    # cache from the jets_b64 stage, so only the bf16 graph compiles fresh
-    ("tpu_b64", ["jets_b64", "jets_b64_bf16"], 1800, "tpu"),
-    ("tpu_core2", ["jets_fused", "train_fs2", "train_fs2_bf16",
-                   "train_jets_gan"], 1800, "tpu"),
+    # compile-expensive stage in the suite; own group so a slow remote
+    # compile can only forfeit itself. bf16 rides the same child (fp32
+    # half reuses the in-process jit cache).
+    ("tpu_b64", ["jets_b64", "jets_b64_bf16"], 1200, "tpu"),
     ("tpu_rest", ["fs2", "matcha", "vits2", "jets_unpacked",
-                  "stream_ttfa"], 1500, "tpu"),
-    # attention-implementation A/B (r3: factorized/flash attention,
-    # ops/pallas_attention.py): dense-attn train step + the predicted-best
-    # bf16+remat+dense combo + the flash serving graph
+                  "jets_fused"], 1200, "tpu"),
+    # training-lever A/B in the byte-bound regime (VERDICT r3 item 2):
+    # B=64 and T_mel=1008 fp32-vs-best matrices
+    ("tpu_train_deep", ["train_fs2_b64", "train_fs2_best_b64"], 1200, "tpu"),
+    ("tpu_train_long", ["train_fs2_t1008", "train_fs2_best_t1008"],
+     1200, "tpu"),
+    ("tpu_train_b32", ["train_fs2_b32", "train_fs2_bf16_b32"], 1200, "tpu"),
+    # attention/remat refinement A/Bs: least marginal value, last
     ("tpu_attn", ["train_fs2_dense_attn", "train_fs2_best", "fs2_flash"],
-     1800, "tpu"),
-    # remat A/B rides last: two fresh train-step compiles that only refine
-    # the training story (train_fs2/_bf16 above already carry the headline
-    # train numbers) — a timeout here loses nothing upstream.
+     1200, "tpu"),
     ("tpu_train_remat", ["train_fs2_remat", "train_fs2_bf16_remat",
-                         "train_jets_gan_remat"], 1800, "tpu"),
-    # the heaviest trainer, one fresh compile; last so a timeout loses
-    # nothing upstream
-    ("tpu_train_vits2", ["train_vits2"], 1500, "tpu"),
-    # batch-depth training throughput (B=32 vs the reference's B=8): the
-    # B=8 step is latency-bound, so this carries the per-chip training
-    # throughput story. Last: purely additive evidence.
-    ("tpu_train_b32", ["train_fs2_b32", "train_fs2_bf16_b32"], 1800, "tpu"),
+                         "train_jets_gan_remat"], 1200, "tpu"),
 ]
 
 
@@ -1585,15 +1702,27 @@ def build_result(acc):
     return result
 
 
+HEARTBEAT_S = 30.0
+
+
 def _run_group(group, names, timeout_s, kind, acc, done, emit):
-    """Spawn one stage-group child, stream its per-stage JSON into acc."""
+    """Spawn one stage-group child, stream its per-stage JSON into acc.
+
+    Child stderr is QUARANTINED to bench_logs/<group>.log — never piped
+    into the parent's stream. The driver captures the parent's combined
+    output and parses the LAST JSON line of the tail; in rounds 2-3 the
+    children's XLA C++ log spam (multi-KB per line) flooded that tail and
+    zero JSON survived (BENCH_r0{2,3}.json). The parent re-emits the
+    consolidated JSON line every HEARTBEAT_S even while a stage compiles,
+    so any kill-time tail snapshot ends with a parseable line.
+    """
     import subprocess
     import threading
     import queue as queue_mod
 
-    env = dict(os.environ)
-    # silence XLA AOT-cache machine-feature E-log spam in children
-    env.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+    from viet_tts_tpu.utils.compile_cache import silence_xla_clogs
+
+    env = silence_xla_clogs(dict(os.environ))
     if kind == "cpu-jax":
         env = {
             k: v for k, v in env.items()
@@ -1601,47 +1730,70 @@ def _run_group(group, names, timeout_s, kind, acc, done, emit):
         }
         env["JAX_PLATFORMS"] = "cpu"
         env["BENCH_FORCE_CPU"] = "1"
+        silence_xla_clogs(env)
     note(f"bench group: {group} (timeout {timeout_s:.0f}s)")
-    proc = subprocess.Popen(
-        [sys.executable, os.path.abspath(__file__), "--stages",
-         ",".join(names)],
-        stdout=subprocess.PIPE, stderr=sys.stderr, text=True, env=env,
-    )
-    q = queue_mod.Queue()
+    log_dir = os.path.join(REPO, "bench_logs")
+    os.makedirs(log_dir, exist_ok=True)
+    log_path = os.path.join(log_dir, f"{group}.log")
+    with open(log_path, "w") as err_log:
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--stages",
+             ",".join(names)],
+            stdout=subprocess.PIPE, stderr=err_log, text=True, env=env,
+        )
+        q = queue_mod.Queue()
 
-    def reader(stream=proc.stdout):
-        for line in stream:
-            q.put(line)
-        q.put(None)
+        def reader(stream=proc.stdout):
+            for line in stream:
+                q.put(line)
+            q.put(None)
 
-    threading.Thread(target=reader, daemon=True).start()
-    deadline = time.monotonic() + timeout_s
-    while True:
-        remaining = deadline - time.monotonic()
-        if remaining <= 0:
-            note(f"bench group {group} TIMED OUT; killing")
+        threading.Thread(target=reader, daemon=True).start()
+        deadline = time.monotonic() + timeout_s
+        last_emit = time.monotonic()
+        while True:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                note(f"bench group {group} TIMED OUT; killing")
+                proc.kill()
+                break
+            if time.monotonic() - last_emit > HEARTBEAT_S:
+                emit()  # heartbeat: tail snapshots always end with JSON
+                last_emit = time.monotonic()
+            try:
+                line = q.get(timeout=min(remaining, 5.0))
+            except queue_mod.Empty:
+                continue
+            if line is None:
+                break
+            line = line.strip()
+            if not line.startswith("{"):
+                continue
+            try:
+                stage_result = json.loads(line)
+            except ValueError:
+                continue
+            done.add(stage_result.pop("_stage", None))
+            acc.update(stage_result)
+            emit()
+            last_emit = time.monotonic()
+        try:
+            proc.wait(timeout=30)
+        except subprocess.TimeoutExpired:
             proc.kill()
-            break
+    if proc.returncode not in (0, None):
+        # one short, spam-filtered note — full log stays in bench_logs/
         try:
-            line = q.get(timeout=min(remaining, 5.0))
-        except queue_mod.Empty:
-            continue
-        if line is None:
-            break
-        line = line.strip()
-        if not line.startswith("{"):
-            continue
-        try:
-            stage_result = json.loads(line)
-        except ValueError:
-            continue
-        done.add(stage_result.pop("_stage", None))
-        acc.update(stage_result)
-        emit()
-    try:
-        proc.wait(timeout=30)
-    except subprocess.TimeoutExpired:
-        proc.kill()
+            with open(log_path) as f:
+                lines = [
+                    l.strip() for l in f
+                    if l.strip() and "aot" not in l.lower()
+                    and "Machine type" not in l
+                ]
+            note(f"bench group {group} rc={proc.returncode}; "
+                 f"log tail: {' | '.join(lines[-2:])[:400]}")
+        except OSError:
+            pass
 
 
 def _tpu_alive(timeout_s: float = 150.0) -> bool:
@@ -1670,7 +1822,7 @@ def _tpu_alive(timeout_s: float = 150.0) -> bool:
 
 
 def orchestrate():
-    budget = float(os.environ.get("BENCH_BUDGET_S", 3300))
+    budget = float(os.environ.get("BENCH_BUDGET_S", 1500))
     t_start = time.monotonic()
     acc = {}
     done = set()
@@ -1680,18 +1832,24 @@ def orchestrate():
 
     emit()  # a valid (if empty) line exists from second zero
 
-    groups = list(PROCESS_GROUPS)
+    if os.environ.get("BENCH_SELFTEST"):
+        # harness smoke (tests/test_bench_harness.py): one noisy child,
+        # proving stderr quarantine + JSON landing
+        groups = [("selftest", ["_noise"], 120, "cpu-jax")]
+    else:
+        groups = list(PROCESS_GROUPS)
     if any(kind == "tpu" for _, _, _, kind in groups):
-        if _tpu_alive(float(os.environ.get("BENCH_PROBE_S", 150))):
+        if _tpu_alive(float(os.environ.get("BENCH_PROBE_S", 60))):
             note("bench: TPU probe ok")
         else:
             # dead tunnel: run CPU groups first (they always land), then
-            # give each TPU group only a short try in case it recovers
-            note("bench: TPU probe FAILED; cpu groups first, tpu capped")
+            # ONE short recovery attempt for the headline TPU group only —
+            # burning 300s per dead TPU group wasted ~45 min in round 3
+            note("bench: TPU probe FAILED; cpu groups, one capped tpu try")
             groups = (
                 [g for g in groups if g[3] != "tpu"]
-                + [(n, s, min(t, 300), k) for n, s, t, k in groups
-                   if k == "tpu"]
+                + [(n, s, 120, k) for n, s, t, k in groups
+                   if k == "tpu"][:1]
             )
 
     for group, names, timeout_s, kind in groups:
