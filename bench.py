@@ -1838,19 +1838,18 @@ def orchestrate():
         groups = [("selftest", ["_noise"], 120, "cpu-jax")]
     else:
         groups = list(PROCESS_GROUPS)
+    tpu_deferred = []
     if any(kind == "tpu" for _, _, _, kind in groups):
         if _tpu_alive(float(os.environ.get("BENCH_PROBE_S", 60))):
             note("bench: TPU probe ok")
         else:
-            # dead tunnel: run CPU groups first (they always land), then
-            # ONE short recovery attempt for the headline TPU group only —
-            # burning 300s per dead TPU group wasted ~45 min in round 3
-            note("bench: TPU probe FAILED; cpu groups, one capped tpu try")
-            groups = (
-                [g for g in groups if g[3] != "tpu"]
-                + [(n, s, 120, k) for n, s, t, k in groups
-                   if k == "tpu"][:1]
-            )
+            # dead tunnel: run CPU groups first (they always land); the
+            # TPU groups are deferred behind a single longer re-probe —
+            # tunnels were observed to recover mid-round (r3), and burning
+            # 300s per dead TPU group wasted ~45 min there
+            note("bench: TPU probe FAILED; cpu groups first, re-probe after")
+            tpu_deferred = [g for g in groups if g[3] == "tpu"]
+            groups = [g for g in groups if g[3] != "tpu"]
 
     for group, names, timeout_s, kind in groups:
         elapsed = time.monotonic() - t_start
@@ -1859,6 +1858,22 @@ def orchestrate():
             continue
         timeout_s = min(timeout_s, budget - elapsed)
         _run_group(group, names, timeout_s, kind, acc, done, emit)
+
+    if tpu_deferred:
+        if _tpu_alive(150.0):
+            note("bench: TPU recovered on re-probe; running deferred groups")
+            for group, names, timeout_s, kind in tpu_deferred:
+                elapsed = time.monotonic() - t_start
+                if elapsed > budget - 60:
+                    note(f"bench: skipping group {group} "
+                         f"(budget: {elapsed:.0f}s elapsed)")
+                    continue
+                _run_group(group, names, min(timeout_s, budget - elapsed),
+                           kind, acc, done, emit)
+            groups = groups + tpu_deferred  # retry pass sees them too
+        else:
+            note("bench: TPU still dead on 150s re-probe; "
+                 "TPU stages forfeited this run")
 
     # catch-up pass: a stage forfeited by a group timeout (e.g. a transient
     # stall of the remote TPU runtime mid-group) gets one retry in a fresh
