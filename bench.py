@@ -1838,6 +1838,10 @@ def orchestrate():
         groups = [("selftest", ["_noise"], 120, "cpu-jax")]
     else:
         groups = list(PROCESS_GROUPS)
+        only = os.environ.get("BENCH_ONLY_KINDS")  # e.g. "tpu" | "cpu-jax,cpu-torch"
+        if only:
+            kinds = {k.strip() for k in only.split(",")}
+            groups = [g for g in groups if g[3] in kinds]
     tpu_deferred = []
     if any(kind == "tpu" for _, _, _, kind in groups):
         if _tpu_alive(float(os.environ.get("BENCH_PROBE_S", 60))):

