@@ -1796,12 +1796,17 @@ def _run_group(group, names, timeout_s, kind, acc, done, emit):
             pass
 
 
-def _tpu_alive(timeout_s: float = 150.0) -> bool:
+def _tpu_alive(timeout_s: float = 240.0) -> bool:
     """Probe the (axon remote) TPU in a subprocess with a hard timeout.
 
-    A dead relay makes jax.devices() HANG rather than fail, so an
-    un-probed bench would burn its whole budget on the first TPU group
-    (the round-2 failure mode, and the 9h tunnel outage observed in r3).
+    A dead relay makes jax.devices() (or the first host fetch) HANG rather
+    than fail, so an un-probed bench would burn its whole budget on the
+    first TPU group (the round-2 failure mode, and the 9h tunnel outage
+    observed in r3). The probe must run a real computation to completion:
+    a degraded-but-alive relay serves jax.devices() instantly while the
+    first compute round-trip takes ~170s (observed r4) — hence the long
+    default. A successful probe also warms the remote runtime for the
+    first real group.
     """
     import subprocess
 
@@ -1844,7 +1849,10 @@ def orchestrate():
             groups = [g for g in groups if g[3] in kinds]
     tpu_deferred = []
     if any(kind == "tpu" for _, _, _, kind in groups):
-        if _tpu_alive(float(os.environ.get("BENCH_PROBE_S", 60))):
+        # 240s: the axon relay has been observed to serve jax.devices()
+        # instantly while the FIRST compute round-trip takes ~170s
+        # (degraded-but-alive); shorter probes misclassify that as dead
+        if _tpu_alive(float(os.environ.get("BENCH_PROBE_S", 240))):
             note("bench: TPU probe ok")
         else:
             # dead tunnel: run CPU groups first (they always land); the
@@ -1864,7 +1872,7 @@ def orchestrate():
         _run_group(group, names, timeout_s, kind, acc, done, emit)
 
     if tpu_deferred:
-        if _tpu_alive(150.0):
+        if _tpu_alive(240.0):
             note("bench: TPU recovered on re-probe; running deferred groups")
             for group, names, timeout_s, kind in tpu_deferred:
                 elapsed = time.monotonic() - t_start
