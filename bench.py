@@ -1796,34 +1796,55 @@ def _run_group(group, names, timeout_s, kind, acc, done, emit):
             pass
 
 
-def _tpu_alive(timeout_s: float = 240.0) -> bool:
-    """Probe the (axon remote) TPU in a subprocess with a hard timeout.
+PROBE_CODE = (
+    "import jax, jax.numpy as jnp\n"
+    "d = jax.devices()\n"
+    "x = jnp.ones((128, 128))\n"
+    "print('UP', d[0].platform, float((x @ x).sum()))\n"
+)
+
+
+def _start_tpu_probe():
+    """Launch the TPU-liveness probe WITHOUT blocking.
 
     A dead relay makes jax.devices() (or the first host fetch) HANG rather
     than fail, so an un-probed bench would burn its whole budget on the
-    first TPU group (the round-2 failure mode, and the 9h tunnel outage
-    observed in r3). The probe must run a real computation to completion:
-    a degraded-but-alive relay serves jax.devices() instantly while the
-    first compute round-trip takes ~170s (observed r4) — hence the long
-    default. A successful probe also warms the remote runtime for the
-    first real group.
+    first TPU group (the round-2 failure mode; r3 saw a 9h tunnel outage).
+    But the first compute round-trip on a LIVE relay oscillates wildly —
+    14s / 169s / 340s observed within one r4 hour — so any fixed blocking
+    window misclassifies. The probe therefore runs concurrently with the
+    CPU groups and is only awaited when the TPU groups are up next; a
+    successful probe also warms the remote runtime.
     """
     import subprocess
 
-    code = (
-        "import jax, jax.numpy as jnp\n"
-        "d = jax.devices()\n"
-        "x = jnp.ones((128, 128))\n"
-        "print('UP', d[0].platform, float((x @ x).sum()))\n"
-    )
     try:
-        p = subprocess.run(
-            [sys.executable, "-c", code], timeout=timeout_s,
-            capture_output=True, text=True,
+        return subprocess.Popen(
+            [sys.executable, "-c", PROBE_CODE],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
         )
-        return p.returncode == 0 and "UP" in p.stdout
+    except Exception:
+        return None
+
+
+def _await_tpu_probe(proc, extra_wait_s: float) -> bool:
+    """Give the running probe up to extra_wait_s more, then verdict."""
+    import subprocess
+
+    if proc is None:
+        return False
+    try:
+        out, _ = proc.communicate(timeout=max(extra_wait_s, 1.0))
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        try:
+            proc.communicate(timeout=5)
+        except Exception:
+            pass
+        return False
     except Exception:
         return False
+    return proc.returncode == 0 and "UP" in (out or "")
 
 
 def orchestrate():
@@ -1847,45 +1868,39 @@ def orchestrate():
         if only:
             kinds = {k.strip() for k in only.split(",")}
             groups = [g for g in groups if g[3] in kinds]
-    tpu_deferred = []
+    # TPU-liveness probe runs CONCURRENTLY with the CPU groups (see
+    # _start_tpu_probe) and is awaited only when a TPU group is up next.
+    probe = None
+    probe_started = None
+    tpu_capped = False
     if any(kind == "tpu" for _, _, _, kind in groups):
-        # 240s: the axon relay has been observed to serve jax.devices()
-        # instantly while the FIRST compute round-trip takes ~170s
-        # (degraded-but-alive); shorter probes misclassify that as dead
-        if _tpu_alive(float(os.environ.get("BENCH_PROBE_S", 240))):
-            note("bench: TPU probe ok")
-        else:
-            # dead tunnel: run CPU groups first (they always land); the
-            # TPU groups are deferred behind a single longer re-probe —
-            # tunnels were observed to recover mid-round (r3), and burning
-            # 300s per dead TPU group wasted ~45 min there
-            note("bench: TPU probe FAILED; cpu groups first, re-probe after")
-            tpu_deferred = [g for g in groups if g[3] == "tpu"]
-            groups = [g for g in groups if g[3] != "tpu"]
+        probe = _start_tpu_probe()
+        probe_started = time.monotonic()
+        # CPU groups first so the probe's latency overlaps useful work
+        groups = sorted(groups, key=lambda g: g[3] == "tpu")
 
     for group, names, timeout_s, kind in groups:
+        if kind == "tpu" and probe is not None:
+            window = float(os.environ.get("BENCH_PROBE_S", 420))
+            spent = time.monotonic() - probe_started
+            if _await_tpu_probe(probe, window - spent):
+                note(f"bench: TPU probe ok ({time.monotonic() - probe_started:.0f}s)")
+            else:
+                # probably dead (r3: 9h outage): don't forfeit outright —
+                # cap each TPU group so a real outage costs minutes, not
+                # the budget, while a late recovery still lands stages
+                note(f"bench: TPU probe failed after {window:.0f}s; "
+                     "capping TPU group timeouts at 300s")
+                tpu_capped = True
+            probe = None
         elapsed = time.monotonic() - t_start
         if elapsed > budget - 60:
             note(f"bench: skipping group {group} (budget: {elapsed:.0f}s elapsed)")
             continue
+        if kind == "tpu" and tpu_capped:
+            timeout_s = min(timeout_s, 300)
         timeout_s = min(timeout_s, budget - elapsed)
         _run_group(group, names, timeout_s, kind, acc, done, emit)
-
-    if tpu_deferred:
-        if _tpu_alive(240.0):
-            note("bench: TPU recovered on re-probe; running deferred groups")
-            for group, names, timeout_s, kind in tpu_deferred:
-                elapsed = time.monotonic() - t_start
-                if elapsed > budget - 60:
-                    note(f"bench: skipping group {group} "
-                         f"(budget: {elapsed:.0f}s elapsed)")
-                    continue
-                _run_group(group, names, min(timeout_s, budget - elapsed),
-                           kind, acc, done, emit)
-            groups = groups + tpu_deferred  # retry pass sees them too
-        else:
-            note("bench: TPU still dead on 150s re-probe; "
-                 "TPU stages forfeited this run")
 
     # catch-up pass: a stage forfeited by a group timeout (e.g. a transient
     # stall of the remote TPU runtime mid-group) gets one retry in a fresh
