@@ -785,6 +785,18 @@ def stage_train_fs2_best_b64():
     return _bench_fs2_train(True, remat=True, attn="dense", batch_size=64)
 
 
+def stage_train_fs2_bf16_b64():
+    """bf16-only at B=64 (isolates the cast lever from remat/dense in the
+    B=64 matrix; keys: train_fs2_bf16_b64_*)."""
+    return _bench_fs2_train(True, batch_size=64)
+
+
+def stage_train_fs2_remat_b64():
+    """remat-only fp32 at B=64 (isolates the remat lever;
+    keys: train_fs2_remat_b64_*)."""
+    return _bench_fs2_train(False, remat=True, batch_size=64)
+
+
 def stage_train_fs2_t1008():
     """fp32 step at T_mel=1008 — the reference's max_seq_len: 1000 bucket
     (`/root/reference/config/model_config.yaml:2`), where the (B,H,T,T)
@@ -1547,6 +1559,8 @@ STAGES = {
     "two_stage_t1008": stage_two_stage_t1008,
     "train_fs2_b64": stage_train_fs2_b64,
     "train_fs2_best_b64": stage_train_fs2_best_b64,
+    "train_fs2_bf16_b64": stage_train_fs2_bf16_b64,
+    "train_fs2_remat_b64": stage_train_fs2_remat_b64,
     "train_fs2_t1008": stage_train_fs2_t1008,
     "train_fs2_best_t1008": stage_train_fs2_best_t1008,
     "_noise": stage_noise,
