@@ -1612,7 +1612,9 @@ PROCESS_GROUPS = [
                   "jets_fused"], 1200, "tpu"),
     # training-lever A/B in the byte-bound regime (VERDICT r3 item 2):
     # B=64 and T_mel=1008 fp32-vs-best matrices
-    ("tpu_train_deep", ["train_fs2_b64", "train_fs2_best_b64"], 1200, "tpu"),
+    ("tpu_train_deep", ["train_fs2_b64", "train_fs2_best_b64",
+                        "train_fs2_bf16_b64", "train_fs2_remat_b64"],
+     1200, "tpu"),
     ("tpu_train_long", ["train_fs2_t1008", "train_fs2_best_t1008"],
      1200, "tpu"),
     ("tpu_train_b32", ["train_fs2_b32", "train_fs2_bf16_b32"], 1200, "tpu"),
