@@ -37,6 +37,7 @@ against the reference's OWN torch code (`models/tts/fastspeech2/model.py:105-193
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import sys
@@ -46,6 +47,10 @@ import numpy as np
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
+# Where BENCH_FULL.json + bench_logs/ land. Tests MUST point this at a
+# tmp dir (ADVICE r4: the selftest used to clobber the tracked
+# BENCH_FULL.json of a real run).
+OUT_DIR = os.environ.get("BENCH_OUT_DIR", REPO)
 
 SR = 22050
 HOP = 256
@@ -115,7 +120,7 @@ def _jax_sum(out):
     return jnp.sum(leaf)
 
 
-def _cost_analysis(jitted_fn, *args):
+def _cost_analysis(jitted_fn, *args, cache_only=False):
     """Analytic {flops, bytes accessed} of the compiled graph (XLA cost
     analysis).
 
@@ -144,6 +149,10 @@ def _cost_analysis(jitted_fn, *args):
         v = cache[key]
         return {"flops": v.get("flops") or None,
                 "bytes": v.get("bytes") or None}
+    if cache_only:
+        # minimal-load stages (jets_live) never pay an extra executable
+        # load for MFU; the committed bench_flops.json normally hits
+        return {"flops": None, "bytes": None}
     try:
         compiled = lowered.compile()
         ca = compiled.cost_analysis()
@@ -165,8 +174,8 @@ def _cost_analysis(jitted_fn, *args):
     return entry
 
 
-def _cost_flops(jitted_fn, *args):
-    return _cost_analysis(jitted_fn, *args)["flops"]
+def _cost_flops(jitted_fn, *args, cache_only=False):
+    return _cost_analysis(jitted_fn, *args, cache_only=cache_only)["flops"]
 
 
 def _peak_flops():
@@ -198,7 +207,7 @@ def _platform():
 
 def _bench_jets(batch=B, fused_mrf=False, prefix="jets", variables=None,
                 n_speakers=2, packed_tail=True, with_bf16=True,
-                t_mel=None, t_text=None):
+                t_mel=None, t_text=None, flops_cache_only=False):
     """Fused JETS text->waveform single-graph inference (headline config)."""
     import jax
     import jax.numpy as jnp
@@ -259,7 +268,8 @@ def _bench_jets(batch=B, fused_mrf=False, prefix="jets", variables=None,
         dt16 = _honest_time(synth, v16, sids, text, text_lens)
         out[f"rtf_{prefix}_bf16"] = dt16 / audio_seconds
         out[f"{prefix}_bf16_samples_per_sec"] = samples / dt16
-    flops = _cost_flops(synth, variables, sids, text, text_lens)
+    flops = _cost_flops(synth, variables, sids, text, text_lens,
+                        cache_only=flops_cache_only)
     if flops:
         out[f"mfu_{prefix}"] = flops / dt / _peak_flops()
         if with_bf16:
@@ -331,6 +341,17 @@ def _bf16_fidelity(wav_fp32, wav_bf16):
 
 def stage_jets():
     return _bench_jets(B, False, "jets")
+
+
+def stage_jets_live():
+    """Minimal-load headline re-measurement (VERDICT r4 item 2): ONE
+    executable (fp32 B=16 JETS, persistent-cache warm from the builder's
+    runs) and zero extra loads — MFU comes from the committed flops cache
+    or not at all. Scheduled in the concurrent TPU lane from second zero
+    so the remote executable-load cost (2-6 min/graph, PERF_NOTES §3)
+    cannot be starved by the CPU groups again."""
+    return _bench_jets(B, False, "jets", with_bf16=False,
+                       flops_cache_only=True)
 
 
 def stage_jets_unpacked():
@@ -1497,6 +1518,16 @@ def stage_noise():
     return {"selftest_noise": 1.0}
 
 
+def stage_hang():
+    """Harness hang selftest (BENCH_SELFTEST_HANG=1): sleeps far past the
+    group timeout so tests can assert heartbeat JSON keeps landing while a
+    child is wedged (ADVICE r4: the old 45s-budget test never spawned a
+    child at all)."""
+    note("bench: _hang sleeping (selftest)")
+    time.sleep(600)
+    return {"selftest_hang": 1.0}  # unreachable under the test's timeout
+
+
 def stage_input_pipeline():
     """Host data-pipeline throughput (VERDICT r2 item 9): time the bucketed
     batcher (C++ collate underneath) over a synthetic cached dataset; the
@@ -1570,6 +1601,8 @@ STAGES = {
     "train_fs2_t1008": stage_train_fs2_t1008,
     "train_fs2_best_t1008": stage_train_fs2_best_t1008,
     "_noise": stage_noise,
+    "_hang": stage_hang,
+    "jets_live": stage_jets_live,
     "cpu_anchor": stage_cpu_anchor,
     "cpu_train_anchor": stage_cpu_train_anchor,
     "mcd": stage_mcd,
@@ -1587,7 +1620,12 @@ STAGES = {
 # (tpu_train). Each group is one subprocess so a hang forfeits only that
 # group; within a group the cheapest/highest-value stage runs first.
 PROCESS_GROUPS = [
-    # torch-CPU anchors first: no TPU dependency, ~2-4 min, and vs_baseline
+    # THE driver-live TPU stage (VERDICT r4 item 2): one executable load,
+    # zero extra compiles, launched in the concurrent TPU lane at second
+    # zero. Generous timeout — re-measuring rtf_jets live outranks every
+    # additive TPU stage below.
+    ("tpu_live", ["jets_live"], 900, "tpu"),
+    # torch-CPU anchors: no TPU dependency, ~2-4 min, and vs_baseline
     # is unset without them even if every TPU stage lands
     ("cpu_anchor", ["cpu_anchor", "cpu_train_anchor"], 420, "cpu-torch"),
     # jets_imported rides the headline child because it reuses the already
@@ -1653,7 +1691,33 @@ def _jsonable(v):
     return v
 
 
-def build_result(acc, live_stages=None, seeded=False):
+def _put_ratio(result, name, num_key, den_key, acc, live_keys, seeds,
+               digits=2):
+    """Derived ratio with provenance hygiene (ADVICE r4): a ratio whose
+    inputs straddle seed/live was never measured in one consistent
+    environment (observed swing: train_vs_baseline 454 -> 184 when only
+    the CPU anchor re-ran live). When inputs mix, fall back to the
+    all-seed pair if available and tag the provenance; otherwise tag the
+    value "mixed" so the reader knows."""
+    if num_key not in acc or den_key not in acc:
+        return
+    if live_keys is None:  # non-seeded run: everything shares provenance
+        result[name] = round(acc[num_key] / acc[den_key], digits)
+        return
+    prov = {k: ("live" if k in live_keys else "seed") for k in (num_key, den_key)}
+    if prov[num_key] == prov[den_key]:
+        result[name] = round(acc[num_key] / acc[den_key], digits)
+        result[name + "_provenance"] = prov[num_key]
+    elif seeds and num_key in seeds and den_key in seeds:
+        result[name] = round(seeds[num_key] / seeds[den_key], digits)
+        result[name + "_provenance"] = "seed"
+    else:
+        result[name] = round(acc[num_key] / acc[den_key], digits)
+        result[name + "_provenance"] = "mixed"
+
+
+def build_result(acc, live_stages=None, seeded=False, live_keys=None,
+                 seeds=None):
     """Consolidated driver line from the accumulated stage results."""
     best = max(
         [acc[k] for k in ("jets_samples_per_sec", "jets_bf16_samples_per_sec",
@@ -1684,45 +1748,28 @@ def build_result(acc, live_stages=None, seeded=False):
         # the round); live results override seeds key-by-key
         result["seed_artifact"] = "bench_seed.json"
         result["live_stages"] = sorted(s for s in (live_stages or ()) if s)
-    if ("sec_per_batch_reference_cpu_fs2_hifigan" in acc
-            and "sec_per_batch_two_stage" in acc):
-        result["vs_baseline"] = round(
-            acc["sec_per_batch_reference_cpu_fs2_hifigan"]
-            / acc["sec_per_batch_two_stage"], 2
-        )
-    if ("sec_per_step_reference_cpu_train_fs2" in acc
-            and "train_fs2_sec_per_step" in acc):
-        # conservative: the torch anchor runs the cheaper supervised step
-        # while train_fs2 runs the full in-graph alignment (see
-        # stage_cpu_train_anchor docstring)
-        result["train_vs_baseline"] = round(
-            acc["sec_per_step_reference_cpu_train_fs2"]
-            / acc["train_fs2_sec_per_step"], 2
-        )
-    if "train_fs2_sec_per_step" in acc and "train_fs2_bf16_sec_per_step" in acc:
-        result["train_fs2_bf16_speedup"] = round(
-            acc["train_fs2_sec_per_step"] / acc["train_fs2_bf16_sec_per_step"], 3
-        )
-    if "input_pipeline_sec_per_batch" in acc and "train_fs2_sec_per_step" in acc:
-        result["input_pipeline_frac"] = round(
-            acc["input_pipeline_sec_per_batch"] / acc["train_fs2_sec_per_step"], 4
-        )
-    if "train_fs2_sec_per_step" in acc and "train_fs2_remat_sec_per_step" in acc:
-        result["train_fs2_remat_speedup"] = round(
-            acc["train_fs2_sec_per_step"] / acc["train_fs2_remat_sec_per_step"], 3
-        )
-    if ("train_fs2_sec_per_step" in acc
-            and "train_fs2_bf16_remat_sec_per_step" in acc):
-        result["train_fs2_bf16_remat_speedup"] = round(
-            acc["train_fs2_sec_per_step"]
-            / acc["train_fs2_bf16_remat_sec_per_step"], 3
-        )
-    if ("train_jets_gan_sec_per_step" in acc
-            and "train_jets_gan_remat_sec_per_step" in acc):
-        result["train_jets_gan_remat_speedup"] = round(
-            acc["train_jets_gan_sec_per_step"]
-            / acc["train_jets_gan_remat_sec_per_step"], 3
-        )
+    # conservative: the torch anchor runs the cheaper supervised step
+    # while train_fs2 runs the full in-graph alignment (see
+    # stage_cpu_train_anchor docstring)
+    ratio = functools.partial(
+        _put_ratio, result, acc=acc, live_keys=live_keys, seeds=seeds
+    )
+    ratio("vs_baseline", "sec_per_batch_reference_cpu_fs2_hifigan",
+          "sec_per_batch_two_stage")
+    ratio("train_vs_baseline", "sec_per_step_reference_cpu_train_fs2",
+          "train_fs2_sec_per_step")
+    ratio("train_fs2_bf16_speedup", "train_fs2_sec_per_step",
+          "train_fs2_bf16_sec_per_step", digits=3)
+    ratio("input_pipeline_frac", "input_pipeline_sec_per_batch",
+          "train_fs2_sec_per_step", digits=4)
+    ratio("train_fs2_remat_speedup", "train_fs2_sec_per_step",
+          "train_fs2_remat_sec_per_step", digits=3)
+    ratio("train_fs2_bf16_remat_speedup", "train_fs2_sec_per_step",
+          "train_fs2_bf16_remat_sec_per_step", digits=3)
+    ratio("train_jets_gan_remat_speedup", "train_jets_gan_sec_per_step",
+          "train_jets_gan_remat_sec_per_step", digits=3)
+    ratio("train_fs2_flash_speedup", "train_fs2_sec_per_step",
+          "train_fs2_flash_sec_per_step", digits=3)
     for k, v in sorted(acc.items()):
         if k == "platform" or k.startswith("_"):
             continue
@@ -1750,7 +1797,8 @@ COMPACT_KEYS = (
     "selftest_noise",
 )
 META_KEYS = (
-    "metric", "value", "unit", "vs_baseline", "train_vs_baseline",
+    "metric", "value", "unit", "vs_baseline", "vs_baseline_provenance",
+    "train_vs_baseline", "train_vs_baseline_provenance",
     "train_fs2_bf16_speedup", "audio_accounting", "platform",
     "seed_artifact",
 )
@@ -1767,10 +1815,11 @@ def compact_result(full):
     return out
 
 
-HEARTBEAT_S = 30.0
+HEARTBEAT_S = float(os.environ.get("BENCH_HEARTBEAT_S", 30.0))
 
 
-def _run_group(group, names, timeout_s, kind, acc, done, emit):
+def _run_group(group, names, timeout_s, kind, acc, done, emit,
+               live_keys=None):
     """Spawn one stage-group child, stream its per-stage JSON into acc.
 
     Child stderr is QUARANTINED to bench_logs/<group>.log — never piped
@@ -1797,7 +1846,7 @@ def _run_group(group, names, timeout_s, kind, acc, done, emit):
         env["BENCH_FORCE_CPU"] = "1"
         silence_xla_clogs(env)
     note(f"bench group: {group} (timeout {timeout_s:.0f}s)")
-    log_dir = os.path.join(REPO, "bench_logs")
+    log_dir = os.path.join(OUT_DIR, "bench_logs")
     os.makedirs(log_dir, exist_ok=True)
     log_path = os.path.join(log_dir, f"{group}.log")
     with open(log_path, "w") as err_log:
@@ -1840,6 +1889,8 @@ def _run_group(group, names, timeout_s, kind, acc, done, emit):
                 continue
             done.add(stage_result.pop("_stage", None))
             acc.update(stage_result)
+            if live_keys is not None:
+                live_keys.update(stage_result)
             emit()
             last_emit = time.monotonic()
         try:
@@ -1913,10 +1964,14 @@ def _await_tpu_probe(proc, extra_wait_s: float) -> bool:
 
 
 def orchestrate():
+    import threading
+
     budget = float(os.environ.get("BENCH_BUDGET_S", 1500))
     t_start = time.monotonic()
     acc = {}
     done = set()
+    live_keys = set()
+    emit_lock = threading.Lock()
 
     # Seed the accumulator with the round's builder-captured results
     # (bench_seed.json, committed) so the consolidated line NEVER lacks the
@@ -1933,17 +1988,22 @@ def orchestrate():
             seeded = True
         except (OSError, ValueError, KeyError) as e:
             note(f"bench: seed load failed ({e}); starting cold")
+    seeds = dict(acc)
 
     def emit():
-        full = build_result(acc, done, seeded)
-        try:
-            with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as f:
-                json.dump(full, f, indent=1, sort_keys=False)
-        except OSError:
-            pass
-        # printed line stays < ~1.6 KB so the driver's 2000-char tail
-        # snapshot always contains it whole (see COMPACT_KEYS)
-        print(json.dumps(compact_result(full)), flush=True)
+        with emit_lock:
+            full = build_result(
+                acc, done, seeded,
+                live_keys=live_keys if seeded else None, seeds=seeds,
+            )
+            try:
+                with open(os.path.join(OUT_DIR, "BENCH_FULL.json"), "w") as f:
+                    json.dump(full, f, indent=1, sort_keys=False)
+            except OSError:
+                pass
+            # printed line stays < ~1.6 KB so the driver's 2000-char tail
+            # snapshot always contains it whole (see COMPACT_KEYS)
+            print(json.dumps(compact_result(full)), flush=True)
 
     emit()  # a valid (if empty) line exists from second zero
 
@@ -1951,60 +2011,95 @@ def orchestrate():
         # harness smoke (tests/test_bench_harness.py): one noisy child,
         # proving stderr quarantine + JSON landing
         groups = [("selftest", ["_noise"], 120, "cpu-jax")]
+    elif os.environ.get("BENCH_SELFTEST_HANG"):
+        # hang smoke: the child completes _noise then sleeps past the group
+        # timeout; the parent must keep emitting heartbeat JSON mid-hang
+        groups = [("selftest_hang", ["_noise", "_hang"],
+                   float(os.environ.get("BENCH_HANG_TIMEOUT_S", 15)),
+                   "cpu-jax")]
     else:
         groups = list(PROCESS_GROUPS)
         only = os.environ.get("BENCH_ONLY_KINDS")  # e.g. "tpu" | "cpu-jax,cpu-torch"
         if only:
             kinds = {k.strip() for k in only.split(",")}
             groups = [g for g in groups if g[3] in kinds]
-    # TPU-liveness probe runs CONCURRENTLY with the CPU groups (see
-    # _start_tpu_probe) and is awaited only when a TPU group is up next.
-    probe = None
-    probe_started = None
-    tpu_capped = False
-    if any(kind == "tpu" for _, _, _, kind in groups):
-        probe = _start_tpu_probe()
-        probe_started = time.monotonic()
-        # CPU groups first so the probe's latency overlaps useful work
-        groups = sorted(groups, key=lambda g: g[3] == "tpu")
 
-    for group, names, timeout_s, kind in groups:
-        if kind == "tpu" and probe is not None:
-            window = float(os.environ.get("BENCH_PROBE_S", 420))
-            spent = time.monotonic() - probe_started
-            if _await_tpu_probe(probe, window - spent):
-                note(f"bench: TPU probe ok ({time.monotonic() - probe_started:.0f}s)")
-            else:
-                # probably dead (r3: 9h outage): don't forfeit outright —
-                # cap each TPU group so a real outage costs minutes, not
-                # the budget, while a late recovery still lands stages
-                note(f"bench: TPU probe failed after {window:.0f}s; "
-                     "capping TPU group timeouts at 300s")
-                tpu_capped = True
-            probe = None
+    def over_budget(slack):
+        # clamped guard (ADVICE r4): a tiny BENCH_BUDGET_S must still run
+        # the first group instead of skipping everything
         elapsed = time.monotonic() - t_start
-        if elapsed > budget - 60:
-            note(f"bench: skipping group {group} (budget: {elapsed:.0f}s elapsed)")
+        return elapsed > max(budget - slack, 0.5 * budget)
+
+    tpu_groups = [g for g in groups if g[3] == "tpu"]
+    cpu_groups = [g for g in groups if g[3] != "tpu"]
+    tpu_capped = {"v": False}
+
+    def run_tpu_lane(probe, probe_started):
+        """The TPU lane runs CONCURRENTLY with the CPU groups from second
+        zero (VERDICT r4 item 2: in r2-r4 the CPU groups ran first and the
+        remote executable-load cost ate the TPU child's whole window). The
+        first group is the minimal-load jets_live stage."""
+        for group, names, timeout_s, kind in tpu_groups:
+            if probe is not None:
+                window = float(os.environ.get("BENCH_PROBE_S", 420))
+                spent = time.monotonic() - probe_started
+                if _await_tpu_probe(probe, window - spent):
+                    note(f"bench: TPU probe ok "
+                         f"({time.monotonic() - probe_started:.0f}s)")
+                else:
+                    # probably dead (r3: 9h outage): don't forfeit outright —
+                    # cap each TPU group so a real outage costs minutes, not
+                    # the budget, while a late recovery still lands stages
+                    note(f"bench: TPU probe failed after {window:.0f}s; "
+                         "capping TPU group timeouts at 300s")
+                    tpu_capped["v"] = True
+                probe = None
+            if over_budget(60):
+                note(f"bench: skipping group {group} (budget)")
+                continue
+            if tpu_capped["v"]:
+                timeout_s = min(timeout_s, 300)
+            timeout_s = min(timeout_s, budget - (time.monotonic() - t_start))
+            _run_group(group, names, timeout_s, kind, acc, done, emit,
+                       live_keys)
+
+    tpu_thread = None
+    if tpu_groups:
+        probe = _start_tpu_probe()
+        tpu_thread = threading.Thread(
+            target=run_tpu_lane, args=(probe, time.monotonic()), daemon=True,
+        )
+        tpu_thread.start()
+
+    for group, names, timeout_s, kind in cpu_groups:
+        if over_budget(60):
+            note(f"bench: skipping group {group} (budget)")
             continue
-        if kind == "tpu" and tpu_capped:
-            timeout_s = min(timeout_s, 300)
-        timeout_s = min(timeout_s, budget - elapsed)
-        _run_group(group, names, timeout_s, kind, acc, done, emit)
+        timeout_s = min(timeout_s, budget - (time.monotonic() - t_start))
+        _run_group(group, names, timeout_s, kind, acc, done, emit, live_keys)
+
+    if tpu_thread is not None:
+        while tpu_thread.is_alive():
+            tpu_thread.join(timeout=HEARTBEAT_S)
+            if tpu_thread.is_alive():
+                emit()  # keep the tail parseable while the TPU lane works
 
     # catch-up pass: a stage forfeited by a group timeout (e.g. a transient
     # stall of the remote TPU runtime mid-group) gets one retry in a fresh
     # child if budget remains; most-valuable groups first, same order
-    # (reuses `groups`, so a dead-tunnel run keeps its capped tpu timeouts)
+    # (a dead-tunnel run keeps its capped tpu timeouts)
     for group, names, timeout_s, kind in groups:
         missing = [n for n in names if n not in done]
         if not missing:
             continue
-        elapsed = time.monotonic() - t_start
-        if elapsed > budget - 120:
-            note(f"bench: no budget to retry {missing} ({elapsed:.0f}s elapsed)")
+        if over_budget(120):
+            note(f"bench: no budget to retry {missing}")
             continue
+        if kind == "tpu" and tpu_capped["v"]:
+            timeout_s = min(timeout_s, 300)
         _run_group(f"{group}_retry", missing,
-                   min(timeout_s, budget - elapsed), kind, acc, done, emit)
+                   min(timeout_s, budget - (time.monotonic() - t_start)),
+                   kind, acc, done, emit, live_keys)
 
     emit()  # final consolidated line is the last thing on stdout
 

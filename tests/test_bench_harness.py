@@ -40,6 +40,8 @@ def test_selftest_noisy_child_cannot_flood_parent_stream(tmp_path):
     JSON carrying the child's stage key."""
     env = dict(os.environ)
     env["BENCH_SELFTEST"] = "1"
+    # never clobber the tracked BENCH_FULL.json / bench_logs (ADVICE r4)
+    env["BENCH_OUT_DIR"] = str(tmp_path)
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         capture_output=True, text=True, timeout=300, env=env, cwd=REPO,
@@ -55,11 +57,12 @@ def test_selftest_noisy_child_cannot_flood_parent_stream(tmp_path):
     parsed = _parse_tail(combined[-1500:])
     assert parsed is not None, combined[-1500:]
     assert parsed.get("selftest_noise") == 1.0
-    # and it is quarantined to the log file instead
-    log = os.path.join(REPO, "bench_logs", "selftest.log")
+    # and it is quarantined to the log file instead — under BENCH_OUT_DIR
+    log = os.path.join(str(tmp_path), "bench_logs", "selftest.log")
     assert os.path.exists(log)
     with open(log) as f:
         assert "machine-feature mismatch spam" in f.read()
+    assert os.path.exists(os.path.join(str(tmp_path), "BENCH_FULL.json"))
 
 
 def test_tf_cpp_min_log_level_assignment_silences_xla():
@@ -130,15 +133,66 @@ def test_build_result_carries_required_keys():
     assert json.loads(line) == result
 
 
-def test_group_timeout_still_lands_heartbeat_json():
-    """Kill-during-stage simulation: a child that hangs after its first
-    stage must still leave consolidated JSON in the tail (heartbeat)."""
+def test_mixed_provenance_ratio_falls_back_to_seed_pair():
+    """A derived ratio whose inputs straddle seed/live was never measured
+    in one environment (ADVICE r4): it must fall back to the all-seed pair
+    and tag provenance; all-live inputs tag "live"."""
+    sys.path.insert(0, REPO)
+    import bench
+
+    seeds = {
+        "sec_per_step_reference_cpu_train_fs2": 90.8,
+        "train_fs2_sec_per_step": 0.2,
+    }
+    acc = dict(seeds)
+    acc["sec_per_step_reference_cpu_train_fs2"] = 40.0  # live re-measure
+    result = bench.build_result(
+        acc, set(), True,
+        live_keys={"sec_per_step_reference_cpu_train_fs2"}, seeds=seeds,
+    )
+    assert result["train_vs_baseline"] == 454.0
+    assert result["train_vs_baseline_provenance"] == "seed"
+
+    result = bench.build_result(
+        acc, set(), True, live_keys=set(acc), seeds=seeds,
+    )
+    assert result["train_vs_baseline"] == 200.0
+    assert result["train_vs_baseline_provenance"] == "live"
+
+
+def test_group_timeout_still_lands_heartbeat_json(tmp_path):
+    """Kill-during-stage simulation (ADVICE r4: the old 45s-budget variant
+    skipped every group and passed trivially): the child completes _noise,
+    then wedges in _hang past the group timeout. The parent must keep
+    emitting heartbeat JSON lines mid-hang, and the final tail must carry
+    the completed stage's key but not the hung stage's."""
+    import time
+
     env = dict(os.environ)
-    env["BENCH_SELFTEST"] = "1"
-    env["BENCH_BUDGET_S"] = "45"
+    env["BENCH_SELFTEST_HANG"] = "1"
+    env["BENCH_BUDGET_S"] = "35"      # retry pass is out of budget
+    env["BENCH_HANG_TIMEOUT_S"] = "20"  # group timeout: kill mid-hang
+    env["BENCH_HEARTBEAT_S"] = "2"
+    env["BENCH_OUT_DIR"] = str(tmp_path)
+    t0 = time.monotonic()
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         capture_output=True, text=True, timeout=240, env=env, cwd=REPO,
     )
-    parsed = _parse_tail((proc.stdout + proc.stderr)[-1500:])
+    elapsed = time.monotonic() - t0
+    assert proc.returncode == 0, (proc.stdout + proc.stderr)[-2000:]
+    # the child really hung: the run rode out the full group timeout
+    assert elapsed >= 18, elapsed
+    json_lines = [
+        json.loads(l) for l in proc.stdout.splitlines()
+        if l.strip().startswith("{")
+    ]
+    # initial emit + _noise emit + >=2 heartbeats while _hang wedged
+    assert len(json_lines) >= 4, proc.stdout[-2000:]
+    # the real driver interleaves the two streams live, so its 2000-char
+    # tail ends with stdout's final JSON; subprocess.run concatenates
+    # whole streams, so parse stdout's own tail here
+    parsed = _parse_tail(proc.stdout[-2000:])
     assert parsed is not None
+    assert parsed.get("selftest_noise") == 1.0
+    assert "selftest_hang" not in parsed
