@@ -56,8 +56,12 @@ def test_flash_matches_dense(T, masked):
     )
 
 
-def test_flash_grads_match_dense():
-    T = 32
+@pytest.mark.parametrize("T", [32, 48])
+def test_flash_grads_match_dense(T):
+    """T=32 is a single (bq, bk) tile; T=48 forces 3x3 16-wide blocks so
+    the Pallas backward's cross-block accumulators (dq over the key sweep,
+    dk/dv over the query sweep, dtable over the whole (B, H, nq) inner
+    sweep of the key-outermost grid) are genuinely exercised."""
     q, k, v, u, v_b, pk, table, scale = _inputs(T, seed=10)
     pad = jnp.arange(T)[None, :] >= jnp.asarray([T, T - 5])[:, None]
     w = _rand(20, B, T, H * D)
@@ -106,6 +110,54 @@ def test_flash_fully_padded_row_matches_dense():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
     )
+
+
+@pytest.mark.parametrize("flavour", ["rel", "plain"])
+@pytest.mark.parametrize("T", [32, 48])
+def test_flash_bwd_kernels_rel_plain_match_dense(flavour, T):
+    """Direct op-level gradcheck of the rel / plain Pallas backward
+    kernels (the XL flavour is covered via xl_attention above), incl. the
+    multi-block T=48 grid and a partially padded batch row."""
+    import viet_tts_tpu.ops.pallas_attention as pa
+
+    Bh, Hh, Dh, E = 2, 2, 16, 64
+    mk = lambda s, *shape: jax.random.normal(
+        jax.random.PRNGKey(s), shape, jnp.float32
+    )
+    qc = mk(1, Bh, Hh, T, Dh)
+    k = mk(2, Bh, Hh, T, Dh)
+    v = mk(3, Bh, Hh, T, Dh)
+    gp = mk(4, Bh, Hh, T, E)
+    tab = mk(5, T, E) / np.sqrt(E)
+    pad = (
+        jnp.arange(T)[None, :] >= jnp.asarray([T, T - 7])[:, None]
+    ).astype(jnp.float32)
+    w = mk(6, Bh, Hh, T, Dh)
+    scale = 1.0 / np.sqrt(Dh)
+
+    if flavour == "rel":
+        op_args = (qc, k, v, gp, tab, pad, scale)
+        op = pa._rel_op
+        dense = lambda qc, k, v, gp, tab: pa._rel_dense(
+            qc, k, v, gp, tab, pad, scale=scale
+        )[0]
+        diff_args = (qc, k, v, gp, tab)
+    else:
+        op_args = (qc, k, v, pad, scale)
+        op = pa._plain_op
+        dense = lambda q, k, v: pa._plain_dense(q, k, v, pad, scale=scale)[0]
+        diff_args = (qc, k, v)
+
+    n = len(diff_args)
+    loss_op = lambda *a: jnp.sum(op(*a, *op_args[n:]) * w)
+    loss_dense = lambda *a: jnp.sum(dense(*a) * w)
+    gd = jax.grad(loss_dense, argnums=tuple(range(n)))(*diff_args)
+    with pltpu.force_tpu_interpret_mode():
+        gf = jax.grad(loss_op, argnums=tuple(range(n)))(*diff_args)
+    for a, b in zip(gf, gd):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5
+        )
 
 
 def test_flash_cpu_fallback_no_interpret():

@@ -1,4 +1,4 @@
-"""Fused (flash) self-attention kernels for TPU, in Pallas.
+"""Fused (flash) self-attention kernels for TPU, in Pallas — fwd AND bwd.
 
 Three score flavours cover every attention in the framework; all use the
 same online-softmax schedule so the (B, H, T, T) score tensor never exists
@@ -19,23 +19,40 @@ exactly those tensors; the serving graphs pay the same forward traffic):
 - ``flash_attention``: plain scaled-dot MHA (`nn/espnet_transformer.py`).
 
 Layout: head-major (B, H, T, D) so each grid step addresses contiguous
-(block, D) tiles.  Grid is (B, H, nq, nk) with the key axis innermost:
-TPU grids execute sequentially, so the running max / denominator /
-accumulator for one query block live in VMEM scratch across the nk sweep
-(the standard TPU flash-attention schedule).  All matmuls run on the MXU
-with fp32 accumulation; the select/exp chain is VPU work on the (bq, bk)
-tile in VMEM.
+(block, D) tiles.  Forward grid is (B, H, nq, nk) with the key axis
+innermost: TPU grids execute sequentially, so the running max /
+denominator / accumulator for one query block live in VMEM scratch across
+the nk sweep (the standard TPU flash-attention schedule).  All matmuls
+run on the MXU with fp32 accumulation; the select/exp chain is VPU work
+on the (bq, bk) tile in VMEM.
 
-Differentiation: each entry point carries a custom VJP whose backward
-recomputes the factorized dense path and autodiffs it — the same trade
-gradient remat makes (PERF_NOTES.md §2), but scoped to the attention op,
-so the forward pass is flash even when the surrounding block is not
-rematerialised.
+Differentiation (VERDICT r4 item 1): each entry point carries a custom
+VJP backed by TWO Pallas backward kernels per flavour that follow the
+FlashAttention-2 schedule — the forward additionally emits the per-row
+logsumexp, the backward recomputes the probability tile p = exp(logits -
+lse) in VMEM and contracts it immediately, so the (B, H, T, T) score
+tensor exists in neither direction:
+
+- bwd-q, grid (B, H, nq, nk): accumulates the query-side grads (dq and
+  the position-stream grads) over the key sweep;
+- bwd-kv, grid (nk, B, H, nq) with the KEY axis OUTERMOST: accumulates
+  dk / dv over the query sweep and the shared position-table grad over
+  the full (B, H, nq) inner sweep (the table is shared across batch and
+  heads, so its accumulator must outlive them — hence the grid order).
+
+delta_i = sum_d g_id out_id (the FA2 row correction) is a cheap jnp
+reduction outside the kernels.  On non-TPU lowering the custom VJP falls
+back to autodiff of the dense factorized oracle — EXCEPT under
+``pltpu.force_tpu_interpret_mode()``, which routes to the Pallas kernels
+so CPU tests exercise the real kernel code (the r4 tests silently took
+the dense branch; see ``_use_pallas``).
 
 Masking contract: ``pad`` is (B, T) float, 1.0 at PADDING keys (the
 repo's pad_mask convention).  Masked keys score MASK_NEG before the
 online softmax — matching the dense modules.  A fully-padded row
-degrades to uniform attention exactly like the dense softmax does.
+degrades to uniform attention exactly like the dense softmax does (and
+its backward zeroes d(logits) at masked keys exactly like the autodiff
+of ``jnp.where(pad, MASK_NEG, logits)`` does).
 
 Numerics pinned against the padded-reshape oracles in
 `tests/test_pallas_attention.py` / `tests/test_espnet_attention.py`.
@@ -65,11 +82,67 @@ def _block_size(t: int, preferred: int = 128) -> int:
     return t
 
 
+def _interpret_forced() -> bool:
+    """True while `pltpu.force_tpu_interpret_mode()` is active: route the
+    platform dispatch to the Pallas branch so CPU tests run the kernels
+    (in the interpreter) instead of silently testing dense-vs-dense."""
+    try:
+        from jax._src import config as _jcfg
+
+        return (
+            _jcfg.pallas_tpu_interpret_mode_context_manager.value is not None
+        )
+    except Exception:
+        return False
+
+
+def _dispatch(pallas_fn, dense_fn, operands, scale):
+    """Resolve at lowering time: the Pallas kernel on TPU (or anywhere
+    under forced interpret mode), the dense factorized oracle on every
+    other backend.  Eager CPU execution (`train/state.py:init_on_cpu`),
+    the virtual-CPU multi-chip dryrun, and CPU test meshes all lower the
+    dense branch; real-chip executables lower only the kernel."""
+    if _interpret_forced():
+        return pallas_fn(*operands, scale=scale)
+    return jax.lax.platform_dependent(
+        *operands,
+        tpu=functools.partial(pallas_fn, scale=scale),
+        default=functools.partial(dense_fn, scale=scale),
+    )
+
+
+def _dot_t(a, b):
+    """a @ b^T with fp32 MXU accumulation: (m, d) x (n, d) -> (m, n)."""
+    return jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _dot(a, b):
+    """a @ b with fp32 MXU accumulation: (m, k) x (k, n) -> (m, n)."""
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _dot_0(a, b):
+    """a^T @ b with fp32 MXU accumulation: (k, m) x (k, n) -> (m, n)."""
+    return jax.lax.dot_general(
+        a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+# --------------------------------------------------------------------------
+# forward kernels: online softmax, emitting (context, logsumexp)
+# --------------------------------------------------------------------------
+
+
 def _online_softmax_step(
-    logits, v_tile, out_ref, m_scr, l_scr, acc_scr, ik, nk
+    logits, v_tile, out_ref, lse_ref, m_scr, l_scr, acc_scr, ik, nk
 ):
     """One flash step: fold this key block's logits into the running
-    (max, denom, accumulator); emit the normalized context on the last
+    (max, denom, accumulator); emit the normalized context and the row
+    logsumexp (the backward's softmax reconstruction key) on the last
     block of the sweep."""
 
     @pl.when(ik == 0)
@@ -84,10 +157,7 @@ def _online_softmax_step(
     p = jnp.exp(logits - m_new)
     corr = jnp.exp(m_prev - m_new)
     l_new = l_scr[:, :1] * corr + jnp.sum(p, axis=-1, keepdims=True)
-    pv = jax.lax.dot_general(
-        p, v_tile, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    pv = _dot(p, v_tile)
     acc_scr[:] = acc_scr[:] * corr + pv
     m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
     l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
@@ -98,38 +168,46 @@ def _online_softmax_step(
         out_ref[0, 0] = jnp.where(
             l > 0.0, acc_scr[:] / jnp.maximum(l, 1e-30), 0.0
         ).astype(out_ref.dtype)
+        # lse rides a trailing singleton lane dim: Mosaic requires output
+        # block shapes whose last two dims are (÷8, ÷128) or equal to the
+        # array dims — (bq, 1) against a (B, H, T, 1) array qualifies,
+        # (1, bq) against (B, H, T) does not (probed on-chip, r5)
+        lse_ref[0, 0] = (
+            m_scr[:, :1] + jnp.log(jnp.maximum(l, 1e-30))
+        ).astype(lse_ref.dtype)
 
 
-def _dot_t(a, b):
-    """a @ b^T with fp32 MXU accumulation."""
-    return jax.lax.dot_general(
-        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
+def _xl_pos_select(pa, pb, iq, ik, bq, bk):
+    """The XL shift's iota-select: past -> pa, the j == i+1 diagonal ->
+    0, future -> pb (see ops/xl_attention.py docstring)."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) + iq * bq
+    j = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + ik * bk
+    sel_a = j <= i
+    sel_b = j >= i + 2
+    return jnp.where(sel_a, pa, jnp.where(sel_b, pb, 0.0)), sel_a, sel_b, j
 
 
 def _xl_kernel(
-    qc_ref, k_ref, v_ref, ga_ref, gb_ref, tab_ref, pad_ref, out_ref,
-    m_scr, l_scr, acc_scr, *, scale, bq, bk, t_kv,
+    qc_ref, k_ref, v_ref, ga_ref, gb_ref, tab_ref, pad_ref,
+    out_ref, lse_ref, m_scr, l_scr, acc_scr, *, scale, bq, bk, t_kv,
 ):
     iq, ik = pl.program_id(2), pl.program_id(3)
     s = _dot_t(qc_ref[0, 0], k_ref[0, 0])
     pa = _dot_t(ga_ref[0, 0], tab_ref[:])
     pb = _dot_t(gb_ref[0, 0], tab_ref[:])
-    i = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) + iq * bq
-    j = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + ik * bk
-    pos = jnp.where(j <= i, pa, jnp.where(j >= i + 2, pb, 0.0))
+    pos, _, _, j = _xl_pos_select(pa, pb, iq, ik, bq, bk)
     logits = (s + pos) * scale
     dead = (pad_ref[0, 0][None, :] > 0.5) | (j >= t_kv)
     logits = jnp.where(dead, MASK_NEG, logits)
     _online_softmax_step(
-        logits, v_ref[0, 0], out_ref, m_scr, l_scr, acc_scr,
+        logits, v_ref[0, 0], out_ref, lse_ref, m_scr, l_scr, acc_scr,
         ik, pl.num_programs(3),
     )
 
 
 def _rel_kernel(
-    qc_ref, k_ref, v_ref, g_ref, tab_ref, pad_ref, out_ref,
-    m_scr, l_scr, acc_scr, *, scale, bq, bk, t_kv,
+    qc_ref, k_ref, v_ref, g_ref, tab_ref, pad_ref,
+    out_ref, lse_ref, m_scr, l_scr, acc_scr, *, scale, bq, bk, t_kv,
 ):
     ik = pl.program_id(3)
     s = _dot_t(qc_ref[0, 0], k_ref[0, 0])
@@ -139,14 +217,14 @@ def _rel_kernel(
     dead = (pad_ref[0, 0][None, :] > 0.5) | (j >= t_kv)
     logits = jnp.where(dead, MASK_NEG, logits)
     _online_softmax_step(
-        logits, v_ref[0, 0], out_ref, m_scr, l_scr, acc_scr,
+        logits, v_ref[0, 0], out_ref, lse_ref, m_scr, l_scr, acc_scr,
         ik, pl.num_programs(3),
     )
 
 
 def _plain_kernel(
-    q_ref, k_ref, v_ref, pad_ref, out_ref,
-    m_scr, l_scr, acc_scr, *, scale, bq, bk, t_kv,
+    q_ref, k_ref, v_ref, pad_ref,
+    out_ref, lse_ref, m_scr, l_scr, acc_scr, *, scale, bq, bk, t_kv,
 ):
     ik = pl.program_id(3)
     logits = _dot_t(q_ref[0, 0], k_ref[0, 0]) * scale
@@ -154,26 +232,13 @@ def _plain_kernel(
     dead = (pad_ref[0, 0][None, :] > 0.5) | (j >= t_kv)
     logits = jnp.where(dead, MASK_NEG, logits)
     _online_softmax_step(
-        logits, v_ref[0, 0], out_ref, m_scr, l_scr, acc_scr,
+        logits, v_ref[0, 0], out_ref, lse_ref, m_scr, l_scr, acc_scr,
         ik, pl.num_programs(3),
     )
 
 
-def _platform_forward(pallas_fn, dense_fn, operands, scale):
-    """Resolve the forward at lowering time: the Pallas kernel on TPU, the
-    dense factorized oracle on every other backend.  Eager CPU execution
-    (``train/state.py:init_on_cpu``), the virtual-CPU multi-chip dryrun,
-    and CPU test meshes all lower the dense branch; real-chip executables
-    lower only the kernel."""
-    return jax.lax.platform_dependent(
-        *operands,
-        tpu=functools.partial(pallas_fn, scale=scale),
-        default=functools.partial(dense_fn, scale=scale),
-    )
-
-
 def _call_flash(kernel_fn, q_streams, k_streams, v, tables, pad, scale):
-    """Shared pallas_call builder.
+    """Shared forward pallas_call builder.
 
     q_streams: list of (B, H, T, Dq) query-side tensors (block over q);
     k_streams: list of (B, H, T, Dk) key-side tensors (block over k);
@@ -181,7 +246,7 @@ def _call_flash(kernel_fn, q_streams, k_streams, v, tables, pad, scale):
     key streams. Argument order handed to the kernel:
     ``*q_streams[:1], *k_streams, v, *q_streams[1:], *tables, pad``
     — i.e. (qc, k, v, extra-q..., tables..., pad), matching the kernel
-    signatures above."""
+    signatures above.  Returns (context (B, H, T, D), lse (B, H, T))."""
     B, H, T, D = v.shape
     bq = _block_size(T)
     bk = _block_size(T)
@@ -213,17 +278,340 @@ def _call_flash(kernel_fn, q_streams, k_streams, v, tables, pad, scale):
     )
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((B, H, T, D), jnp.float32),
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, T, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, T, 1), jnp.float32),
+        ],
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (1, 1, bq, D), lambda b, h, q, kk: (b, h, q, 0)
-        ),
+        out_specs=[
+            pl.BlockSpec((1, 1, bq, D), lambda b, h, q, kk: (b, h, q, 0)),
+            pl.BlockSpec((1, 1, bq, 1), lambda b, h, q, kk: (b, h, q, 0)),
+        ],
         scratch_shapes=[
             pltpu.VMEM((bq, _LANES), jnp.float32),
             pltpu.VMEM((bq, _LANES), jnp.float32),
             pltpu.VMEM((bq, D), jnp.float32),
         ],
+    )(*args)
+
+
+# --------------------------------------------------------------------------
+# backward kernels (FlashAttention-2 schedule)
+# --------------------------------------------------------------------------
+
+
+def _p_ds(raw_logits, dead, lse_row, delta_row, g_tile, v_tile, scale):
+    """Recompute the probability tile and d(raw logits) for one (bq, bk)
+    tile.  p = exp(logits - lse) reconstructs the forward softmax; ds =
+    p * (dp - delta) * scale is the FA2 identity; masked keys get ds = 0,
+    matching autodiff of the dense path's `where(dead, MASK_NEG, ...)`.
+    lse_row / delta_row arrive as (bq, 1) column tiles (see the lse
+    layout note in `_online_softmax_step`)."""
+    logits = jnp.where(dead, MASK_NEG, raw_logits * scale)
+    p = jnp.exp(logits - lse_row)
+    dp = _dot_t(g_tile, v_tile)
+    ds = p * (dp - delta_row) * scale
+    ds = jnp.where(dead, 0.0, ds)
+    return p, ds
+
+
+def _xl_bwd_q_kernel(
+    qc_ref, ga_ref, gb_ref, k_ref, v_ref, tab_ref, pad_ref,
+    lse_ref, delta_ref, g_ref,
+    dqc_ref, dga_ref, dgb_ref, dqc_scr, dga_scr, dgb_scr,
+    *, scale, bq, bk, t_kv,
+):
+    iq, ik = pl.program_id(2), pl.program_id(3)
+
+    @pl.when(ik == 0)
+    def _init():
+        dqc_scr[:] = jnp.zeros_like(dqc_scr)
+        dga_scr[:] = jnp.zeros_like(dga_scr)
+        dgb_scr[:] = jnp.zeros_like(dgb_scr)
+
+    s = _dot_t(qc_ref[0, 0], k_ref[0, 0])
+    pa = _dot_t(ga_ref[0, 0], tab_ref[:])
+    pb = _dot_t(gb_ref[0, 0], tab_ref[:])
+    pos, sel_a, sel_b, j = _xl_pos_select(pa, pb, iq, ik, bq, bk)
+    dead = (pad_ref[0, 0][None, :] > 0.5) | (j >= t_kv)
+    _, ds = _p_ds(
+        s + pos, dead, lse_ref[0, 0], delta_ref[0, 0],
+        g_ref[0, 0], v_ref[0, 0], scale,
+    )
+    dqc_scr[:] += _dot(ds, k_ref[0, 0])
+    dga_scr[:] += _dot(jnp.where(sel_a, ds, 0.0), tab_ref[:])
+    dgb_scr[:] += _dot(jnp.where(sel_b, ds, 0.0), tab_ref[:])
+
+    @pl.when(ik == pl.num_programs(3) - 1)
+    def _emit():
+        dqc_ref[0, 0] = dqc_scr[:].astype(dqc_ref.dtype)
+        dga_ref[0, 0] = dga_scr[:].astype(dga_ref.dtype)
+        dgb_ref[0, 0] = dgb_scr[:].astype(dgb_ref.dtype)
+
+
+def _xl_bwd_kv_kernel(
+    qc_ref, ga_ref, gb_ref, k_ref, v_ref, tab_ref, pad_ref,
+    lse_ref, delta_ref, g_ref,
+    dk_ref, dv_ref, dtab_ref, dk_scr, dv_scr, dtab_scr,
+    *, scale, bq, bk, t_kv,
+):
+    ik, ib, ih, iq = (
+        pl.program_id(0), pl.program_id(1), pl.program_id(2),
+        pl.program_id(3),
+    )
+    nb, nh, nq = (
+        pl.num_programs(1), pl.num_programs(2), pl.num_programs(3),
+    )
+
+    @pl.when(iq == 0)
+    def _init_kv():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    @pl.when((ib == 0) & (ih == 0) & (iq == 0))
+    def _init_tab():
+        dtab_scr[:] = jnp.zeros_like(dtab_scr)
+
+    s = _dot_t(qc_ref[0, 0], k_ref[0, 0])
+    pa = _dot_t(ga_ref[0, 0], tab_ref[:])
+    pb = _dot_t(gb_ref[0, 0], tab_ref[:])
+    pos, sel_a, sel_b, j = _xl_pos_select(pa, pb, iq, ik, bq, bk)
+    dead = (pad_ref[0, 0][None, :] > 0.5) | (j >= t_kv)
+    p, ds = _p_ds(
+        s + pos, dead, lse_ref[0, 0], delta_ref[0, 0],
+        g_ref[0, 0], v_ref[0, 0], scale,
+    )
+    dv_scr[:] += _dot_0(p, g_ref[0, 0])
+    dk_scr[:] += _dot_0(ds, qc_ref[0, 0])
+    dtab_scr[:] += _dot_0(jnp.where(sel_a, ds, 0.0), ga_ref[0, 0])
+    dtab_scr[:] += _dot_0(jnp.where(sel_b, ds, 0.0), gb_ref[0, 0])
+
+    @pl.when(iq == nq - 1)
+    def _emit_kv():
+        dk_ref[0, 0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[:].astype(dv_ref.dtype)
+
+    @pl.when((ib == nb - 1) & (ih == nh - 1) & (iq == nq - 1))
+    def _emit_tab():
+        dtab_ref[:] = dtab_scr[:].astype(dtab_ref.dtype)
+
+
+def _rel_bwd_q_kernel(
+    qc_ref, g_pos_ref, k_ref, v_ref, tab_ref, pad_ref,
+    lse_ref, delta_ref, g_ref,
+    dqc_ref, dgp_ref, dqc_scr, dgp_scr,
+    *, scale, bq, bk, t_kv,
+):
+    ik = pl.program_id(3)
+
+    @pl.when(ik == 0)
+    def _init():
+        dqc_scr[:] = jnp.zeros_like(dqc_scr)
+        dgp_scr[:] = jnp.zeros_like(dgp_scr)
+
+    s = _dot_t(qc_ref[0, 0], k_ref[0, 0])
+    pos = _dot_t(g_pos_ref[0, 0], tab_ref[:])
+    j = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + ik * bk
+    dead = (pad_ref[0, 0][None, :] > 0.5) | (j >= t_kv)
+    _, ds = _p_ds(
+        s + pos, dead, lse_ref[0, 0], delta_ref[0, 0],
+        g_ref[0, 0], v_ref[0, 0], scale,
+    )
+    dqc_scr[:] += _dot(ds, k_ref[0, 0])
+    dgp_scr[:] += _dot(ds, tab_ref[:])
+
+    @pl.when(ik == pl.num_programs(3) - 1)
+    def _emit():
+        dqc_ref[0, 0] = dqc_scr[:].astype(dqc_ref.dtype)
+        dgp_ref[0, 0] = dgp_scr[:].astype(dgp_ref.dtype)
+
+
+def _rel_bwd_kv_kernel(
+    qc_ref, g_pos_ref, k_ref, v_ref, tab_ref, pad_ref,
+    lse_ref, delta_ref, g_ref,
+    dk_ref, dv_ref, dtab_ref, dk_scr, dv_scr, dtab_scr,
+    *, scale, bq, bk, t_kv,
+):
+    ik, ib, ih, iq = (
+        pl.program_id(0), pl.program_id(1), pl.program_id(2),
+        pl.program_id(3),
+    )
+    nb, nh, nq = (
+        pl.num_programs(1), pl.num_programs(2), pl.num_programs(3),
+    )
+
+    @pl.when(iq == 0)
+    def _init_kv():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    @pl.when((ib == 0) & (ih == 0) & (iq == 0))
+    def _init_tab():
+        dtab_scr[:] = jnp.zeros_like(dtab_scr)
+
+    s = _dot_t(qc_ref[0, 0], k_ref[0, 0])
+    pos = _dot_t(g_pos_ref[0, 0], tab_ref[:])
+    j = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + ik * bk
+    dead = (pad_ref[0, 0][None, :] > 0.5) | (j >= t_kv)
+    p, ds = _p_ds(
+        s + pos, dead, lse_ref[0, 0], delta_ref[0, 0],
+        g_ref[0, 0], v_ref[0, 0], scale,
+    )
+    dv_scr[:] += _dot_0(p, g_ref[0, 0])
+    dk_scr[:] += _dot_0(ds, qc_ref[0, 0])
+    dtab_scr[:] += _dot_0(ds, g_pos_ref[0, 0])
+
+    @pl.when(iq == nq - 1)
+    def _emit_kv():
+        dk_ref[0, 0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[:].astype(dv_ref.dtype)
+
+    @pl.when((ib == nb - 1) & (ih == nh - 1) & (iq == nq - 1))
+    def _emit_tab():
+        dtab_ref[:] = dtab_scr[:].astype(dtab_ref.dtype)
+
+
+def _plain_bwd_q_kernel(
+    q_ref, k_ref, v_ref, pad_ref, lse_ref, delta_ref, g_ref,
+    dq_ref, dq_scr, *, scale, bq, bk, t_kv,
+):
+    ik = pl.program_id(3)
+
+    @pl.when(ik == 0)
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    s = _dot_t(q_ref[0, 0], k_ref[0, 0])
+    j = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + ik * bk
+    dead = (pad_ref[0, 0][None, :] > 0.5) | (j >= t_kv)
+    _, ds = _p_ds(
+        s, dead, lse_ref[0, 0], delta_ref[0, 0],
+        g_ref[0, 0], v_ref[0, 0], scale,
+    )
+    dq_scr[:] += _dot(ds, k_ref[0, 0])
+
+    @pl.when(ik == pl.num_programs(3) - 1)
+    def _emit():
+        dq_ref[0, 0] = dq_scr[:].astype(dq_ref.dtype)
+
+
+def _plain_bwd_kv_kernel(
+    q_ref, k_ref, v_ref, pad_ref, lse_ref, delta_ref, g_ref,
+    dk_ref, dv_ref, dk_scr, dv_scr, *, scale, bq, bk, t_kv,
+):
+    ik, iq = pl.program_id(0), pl.program_id(3)
+    nq = pl.num_programs(3)
+
+    @pl.when(iq == 0)
+    def _init_kv():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    s = _dot_t(q_ref[0, 0], k_ref[0, 0])
+    j = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + ik * bk
+    dead = (pad_ref[0, 0][None, :] > 0.5) | (j >= t_kv)
+    p, ds = _p_ds(
+        s, dead, lse_ref[0, 0], delta_ref[0, 0],
+        g_ref[0, 0], v_ref[0, 0], scale,
+    )
+    dv_scr[:] += _dot_0(p, g_ref[0, 0])
+    dk_scr[:] += _dot_0(ds, q_ref[0, 0])
+
+    @pl.when(iq == nq - 1)
+    def _emit_kv():
+        dk_ref[0, 0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _call_bwd_q(kernel_fn, q_streams, k_streams, tables, pad3, lse, delta,
+                g, scale, out_dims, bq, bk):
+    """bwd-q pallas_call: grid (B, H, nq, nk), key axis innermost; one
+    output per entry of ``out_dims``, each blocked like a query stream,
+    emitted after the key sweep.  Kernel ref order:
+    (*q_streams, *k_streams, *tables, pad, lse, delta, g, *outs, *scr)."""
+    B, H, T, D = g.shape
+    grid = (B, H, pl.cdiv(T, bq), pl.cdiv(T, bk))
+    q_spec = lambda d: pl.BlockSpec(
+        (1, 1, bq, d), lambda b, h, q, kk: (b, h, q, 0)
+    )
+    k_spec = lambda d: pl.BlockSpec(
+        (1, 1, bk, d), lambda b, h, q, kk: (b, h, kk, 0)
+    )
+    tab_spec = lambda e: pl.BlockSpec((bk, e), lambda b, h, q, kk: (kk, 0))
+    pad_spec = pl.BlockSpec((1, 1, bk), lambda b, h, q, kk: (b, 0, kk))
+    row_spec = pl.BlockSpec((1, 1, bq, 1), lambda b, h, q, kk: (b, h, q, 0))
+    args = [*q_streams, *k_streams, *tables, pad3, lse, delta, g]
+    in_specs = (
+        [q_spec(x.shape[-1]) for x in q_streams]
+        + [k_spec(x.shape[-1]) for x in k_streams]
+        + [tab_spec(t.shape[-1]) for t in tables]
+        + [pad_spec, row_spec, row_spec, q_spec(D)]
+    )
+    kernel = functools.partial(
+        kernel_fn, scale=float(scale), bq=bq, bk=bk, t_kv=T
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, T, d), jnp.float32)
+            for d in out_dims
+        ],
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[q_spec(d) for d in out_dims],
+        scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32) for d in out_dims],
+    )(*args)
+    return out
+
+
+def _call_bwd_kv(kernel_fn, q_streams, k_streams, tables, pad3, lse, delta,
+                 g, scale, tab_dim, bq, bk):
+    """bwd-kv pallas_call: grid (nk, B, H, nq) — key axis OUTERMOST so the
+    shared table-grad accumulator survives the whole (B, H, nq) inner
+    sweep.  Outputs: dk (B,H,T,D), dv (B,H,T,D) and, if ``tab_dim``,
+    dtable (T, tab_dim)."""
+    B, H, T, D = g.shape
+    grid = (pl.cdiv(T, bk), B, H, pl.cdiv(T, bq))
+    q_spec = lambda d: pl.BlockSpec(
+        (1, 1, bq, d), lambda kk, b, h, q: (b, h, q, 0)
+    )
+    k_spec = lambda d: pl.BlockSpec(
+        (1, 1, bk, d), lambda kk, b, h, q: (b, h, kk, 0)
+    )
+    tab_spec = lambda e: pl.BlockSpec((bk, e), lambda kk, b, h, q: (kk, 0))
+    pad_spec = pl.BlockSpec((1, 1, bk), lambda kk, b, h, q: (b, 0, kk))
+    row_spec = pl.BlockSpec((1, 1, bq, 1), lambda kk, b, h, q: (b, h, q, 0))
+    args = [*q_streams, *k_streams, *tables, pad3, lse, delta, g]
+    in_specs = (
+        [q_spec(x.shape[-1]) for x in q_streams]
+        + [k_spec(x.shape[-1]) for x in k_streams]
+        + [tab_spec(t.shape[-1]) for t in tables]
+        + [pad_spec, row_spec, row_spec, q_spec(D)]
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((B, H, T, D), jnp.float32),
+        jax.ShapeDtypeStruct((B, H, T, D), jnp.float32),
+    ]
+    out_specs = [k_spec(D), k_spec(D)]
+    scratch = [
+        pltpu.VMEM((bk, D), jnp.float32),
+        pltpu.VMEM((bk, D), jnp.float32),
+    ]
+    if tab_dim:
+        out_shape.append(jax.ShapeDtypeStruct((T, tab_dim), jnp.float32))
+        out_specs.append(tab_spec(tab_dim))
+        scratch.append(pltpu.VMEM((bk, tab_dim), jnp.float32))
+    kernel = functools.partial(
+        kernel_fn, scale=float(scale), bq=bq, bk=bk, t_kv=T
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
     )(*args)
 
 
@@ -238,14 +626,14 @@ def _xl_pallas(qc, k, v, gA, gB, table, pad, *, scale):
 
 
 def _xl_forward(qc, k, v, gA, gB, table, pad, scale):
-    return _platform_forward(
+    return _dispatch(
         _xl_pallas, _xl_dense, (qc, k, v, gA, gB, table, pad), scale
     )
 
 
-def _xl_dense(qc, k, v, gA, gB, table, pad, scale):
-    """Dense factorized oracle in head-major layout (backward recompute;
-    mirrors `ops/xl_attention.py` math)."""
+def _xl_dense(qc, k, v, gA, gB, table, pad, *, scale):
+    """Dense factorized oracle in head-major layout (non-TPU fallback;
+    mirrors `ops/xl_attention.py` math).  Returns (context, lse)."""
     T = qc.shape[2]
     content = jnp.einsum("bhqd,bhkd->bhqk", qc, k)
     pa = jnp.einsum("bhqe,ke->bhqk", gA, table)
@@ -256,26 +644,53 @@ def _xl_dense(qc, k, v, gA, gB, table, pad, scale):
     logits = (content + pos) * scale
     logits = jnp.where(pad[:, None, None, :] > 0.5, MASK_NEG, logits)
     attn = jax.nn.softmax(logits, axis=-1)
-    return jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+    lse = jax.scipy.special.logsumexp(logits, axis=-1)[..., None]
+    return jnp.einsum("bhqk,bhkd->bhqd", attn, v), lse
+
+
+def _xl_bwd_pallas(qc, k, v, gA, gB, table, pad, lse, delta, g, *, scale):
+    B, H, T, D = qc.shape
+    E = table.shape[-1]
+    bq = bk = _block_size(T)
+    pad3 = pad.reshape(B, 1, T)
+    dqc, dga, dgb = _call_bwd_q(
+        _xl_bwd_q_kernel, [qc, gA, gB], [k, v], [table], pad3, lse, delta,
+        g, scale, [D, E, E], bq, bk,
+    )
+    dk, dv, dtab = _call_bwd_kv(
+        _xl_bwd_kv_kernel, [qc, gA, gB], [k, v], [table], pad3, lse, delta,
+        g, scale, E, bq, bk,
+    )
+    return dqc, dk, dv, dga, dgb, dtab
+
+
+def _xl_bwd_dense(qc, k, v, gA, gB, table, pad, lse, delta, g, *, scale):
+    _, vjp = jax.vjp(
+        lambda *a: _xl_dense(*a, pad, scale=scale)[0], qc, k, v, gA, gB,
+        table,
+    )
+    return vjp(g)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
 def _xl_op(qc, k, v, gA, gB, table, pad, scale):
-    return _xl_forward(qc, k, v, gA, gB, table, pad, scale)
+    return _xl_forward(qc, k, v, gA, gB, table, pad, scale)[0]
 
 
 def _xl_fwd(qc, k, v, gA, gB, table, pad, scale):
-    return _xl_forward(qc, k, v, gA, gB, table, pad, scale), (
-        qc, k, v, gA, gB, table, pad,
-    )
+    out, lse = _xl_forward(qc, k, v, gA, gB, table, pad, scale)
+    return out, (qc, k, v, gA, gB, table, pad, out, lse)
 
 
 def _xl_bwd(scale, res, g):
-    qc, k, v, gA, gB, table, pad = res
-    _, vjp = jax.vjp(
-        lambda *a: _xl_dense(*a, pad, scale), qc, k, v, gA, gB, table
+    qc, k, v, gA, gB, table, pad, out, lse = res
+    g = g.astype(jnp.float32)
+    delta = jnp.sum(g * out, axis=-1, keepdims=True)
+    grads = _dispatch(
+        _xl_bwd_pallas, _xl_bwd_dense,
+        (qc, k, v, gA, gB, table, pad, lse, delta, g), scale,
     )
-    return (*vjp(g.astype(jnp.float32)), jnp.zeros_like(pad))
+    return (*grads, jnp.zeros_like(pad))
 
 
 _xl_op.defvjp(_xl_fwd, _xl_bwd)
@@ -320,37 +735,63 @@ def _rel_pallas(qc, k, v, g, table, pad, *, scale):
 
 
 def _rel_forward(qc, k, v, g, table, pad, scale):
-    return _platform_forward(
+    return _dispatch(
         _rel_pallas, _rel_dense, (qc, k, v, g, table, pad), scale
     )
 
 
-def _rel_dense(qc, k, v, g, table, pad, scale):
+def _rel_dense(qc, k, v, g, table, pad, *, scale):
     content = jnp.einsum("bhqd,bhkd->bhqk", qc, k)
     pos = jnp.einsum("bhqe,ke->bhqk", g, table)
     logits = (content + pos) * scale
     logits = jnp.where(pad[:, None, None, :] > 0.5, MASK_NEG, logits)
     attn = jax.nn.softmax(logits, axis=-1)
-    return jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+    lse = jax.scipy.special.logsumexp(logits, axis=-1)[..., None]
+    return jnp.einsum("bhqk,bhkd->bhqd", attn, v), lse
+
+
+def _rel_bwd_pallas(qc, k, v, gp, table, pad, lse, delta, g, *, scale):
+    B, H, T, D = qc.shape
+    E = table.shape[-1]
+    bq = bk = _block_size(T)
+    pad3 = pad.reshape(B, 1, T)
+    dqc, dgp = _call_bwd_q(
+        _rel_bwd_q_kernel, [qc, gp], [k, v], [table], pad3, lse, delta,
+        g, scale, [D, E], bq, bk,
+    )
+    dk, dv, dtab = _call_bwd_kv(
+        _rel_bwd_kv_kernel, [qc, gp], [k, v], [table], pad3, lse, delta,
+        g, scale, E, bq, bk,
+    )
+    return dqc, dk, dv, dgp, dtab
+
+
+def _rel_bwd_dense(qc, k, v, gp, table, pad, lse, delta, g, *, scale):
+    _, vjp = jax.vjp(
+        lambda *a: _rel_dense(*a, pad, scale=scale)[0], qc, k, v, gp, table
+    )
+    return vjp(g)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
 def _rel_op(qc, k, v, g, table, pad, scale):
-    return _rel_forward(qc, k, v, g, table, pad, scale)
+    return _rel_forward(qc, k, v, g, table, pad, scale)[0]
 
 
 def _rel_fwd(qc, k, v, g, table, pad, scale):
-    return _rel_forward(qc, k, v, g, table, pad, scale), (
-        qc, k, v, g, table, pad,
-    )
+    out, lse = _rel_forward(qc, k, v, g, table, pad, scale)
+    return out, (qc, k, v, g, table, pad, out, lse)
 
 
 def _rel_bwd(scale, res, g_out):
-    qc, k, v, g, table, pad = res
-    _, vjp = jax.vjp(
-        lambda *a: _rel_dense(*a, pad, scale), qc, k, v, g, table
+    qc, k, v, gp, table, pad, out, lse = res
+    g_out = g_out.astype(jnp.float32)
+    delta = jnp.sum(g_out * out, axis=-1, keepdims=True)
+    grads = _dispatch(
+        _rel_bwd_pallas, _rel_bwd_dense,
+        (qc, k, v, gp, table, pad, lse, delta, g_out), scale,
     )
-    return (*vjp(g_out.astype(jnp.float32)), jnp.zeros_like(pad))
+    return (*grads, jnp.zeros_like(pad))
 
 
 _rel_op.defvjp(_rel_fwd, _rel_bwd)
@@ -394,29 +835,56 @@ def _plain_pallas(q, k, v, pad, *, scale):
 
 
 def _plain_forward(q, k, v, pad, scale):
-    return _platform_forward(_plain_pallas, _plain_dense, (q, k, v, pad), scale)
+    return _dispatch(_plain_pallas, _plain_dense, (q, k, v, pad), scale)
 
 
-def _plain_dense(q, k, v, pad, scale):
+def _plain_dense(q, k, v, pad, *, scale):
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
     logits = jnp.where(pad[:, None, None, :] > 0.5, MASK_NEG, logits)
     attn = jax.nn.softmax(logits, axis=-1)
-    return jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+    lse = jax.scipy.special.logsumexp(logits, axis=-1)[..., None]
+    return jnp.einsum("bhqk,bhkd->bhqd", attn, v), lse
+
+
+def _plain_bwd_pallas(q, k, v, pad, lse, delta, g, *, scale):
+    B, H, T, D = q.shape
+    bq = bk = _block_size(T)
+    pad3 = pad.reshape(B, 1, T)
+    (dq,) = _call_bwd_q(
+        _plain_bwd_q_kernel, [q], [k, v], [], pad3, lse, delta,
+        g, scale, [D], bq, bk,
+    )
+    dk, dv = _call_bwd_kv(
+        _plain_bwd_kv_kernel, [q], [k, v], [], pad3, lse, delta,
+        g, scale, 0, bq, bk,
+    )
+    return dq, dk, dv
+
+
+def _plain_bwd_dense(q, k, v, pad, lse, delta, g, *, scale):
+    _, vjp = jax.vjp(lambda *a: _plain_dense(*a, pad, scale=scale)[0], q, k, v)
+    return vjp(g)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def _plain_op(q, k, v, pad, scale):
-    return _plain_forward(q, k, v, pad, scale)
+    return _plain_forward(q, k, v, pad, scale)[0]
 
 
 def _plain_fwd(q, k, v, pad, scale):
-    return _plain_forward(q, k, v, pad, scale), (q, k, v, pad)
+    out, lse = _plain_forward(q, k, v, pad, scale)
+    return out, (q, k, v, pad, out, lse)
 
 
 def _plain_bwd(scale, res, g_out):
-    q, k, v, pad = res
-    _, vjp = jax.vjp(lambda *a: _plain_dense(*a, pad, scale), q, k, v)
-    return (*vjp(g_out.astype(jnp.float32)), jnp.zeros_like(pad))
+    q, k, v, pad, out, lse = res
+    g_out = g_out.astype(jnp.float32)
+    delta = jnp.sum(g_out * out, axis=-1, keepdims=True)
+    grads = _dispatch(
+        _plain_bwd_pallas, _plain_bwd_dense,
+        (q, k, v, pad, lse, delta, g_out), scale,
+    )
+    return (*grads, jnp.zeros_like(pad))
 
 
 _plain_op.defvjp(_plain_fwd, _plain_bwd)
