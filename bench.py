@@ -481,21 +481,26 @@ def stage_fs2_flash():
     return stage_fs2(attn="flash")
 
 
-def stage_stream_ttfa():
+def stage_stream_ttfa(t_mel=None, suffix=""):
     """Time-to-first-audio: chunked streaming vocoder decode vs the full
-    decode for ONE long utterance (B=1, T_mel=512). The chunked window
-    (chunk 64 + 2x32 context = 128 frames) is the serving latency lever
+    decode for ONE long utterance (B=1). The chunked window (chunk 64 +
+    2x32 context = 128 frames) is the serving latency lever
     (`infer/streaming.py`); chunks match the full decode exactly
-    (tests/test_streaming.py)."""
+    (tests/test_streaming.py).  A second window size (256 frames) is also
+    timed so the fixed per-call cost (dispatch + relay RTT) can be
+    separated from the per-frame window compute:
+    fixed ~= 2*t(128) - t(256) when compute is ~linear in frames
+    (VERDICT r4 item 5 — attribute the 47 ms chunk cost)."""
     import jax
     import jax.numpy as jnp
 
     from viet_tts_tpu.models.hifigan import HiFiGANGenerator
 
+    Tm = t_mel or T_MEL
     vocoder = HiFiGANGenerator(packed_tail=False)
     rng = np.random.RandomState(0)
     key = jax.random.PRNGKey(0)
-    mel = jnp.asarray(rng.randn(1, T_MEL, 80).astype(np.float32))
+    mel = jnp.asarray(rng.randn(1, Tm, 80).astype(np.float32))
     vv = vocoder.init(key, mel)
 
     fn = jax.jit(lambda v, m: vocoder.apply(v, m)[..., 0])
@@ -505,15 +510,27 @@ def stage_stream_ttfa():
     window = jnp.asarray(
         rng.randn(1, chunk + 2 * ctx, 80).astype(np.float32))
     first_dt = _honest_time(fn, vv, window)
+    window256 = jnp.asarray(rng.randn(1, 256, 80).astype(np.float32))
+    w256_dt = _honest_time(fn, vv, window256)
     return {
-        "ttfa_full_decode_s": full_dt,
-        "ttfa_stream_s": first_dt,
-        "ttfa_speedup": full_dt / first_dt,
+        f"ttfa_full_decode{suffix}_s": full_dt,
+        f"ttfa_stream{suffix}_s": first_dt,
+        f"ttfa_speedup{suffix}": full_dt / first_dt,
+        f"ttfa_window256{suffix}_s": w256_dt,
+        # fixed per-call overhead if window compute scales ~linearly
+        f"ttfa_fixed_overhead{suffix}_s": max(2 * first_dt - w256_dt, 0.0),
         "ttfa_chunk_frames": chunk,
     }
 
 
-def stage_two_stage(t_mel=None, batch=None, suffix=""):
+def stage_stream_ttfa_long():
+    """TTFA at the 1008-frame bucket — the length regime where chunked
+    decode should pay (the r4 capture at T=512 was a negative: speedup
+    0.84; VERDICT r4 item 5 demands the long-length point)."""
+    return stage_stream_ttfa(t_mel=1008, suffix="_long")
+
+
+def stage_two_stage(t_mel=None, batch=None, suffix="", grouped=False):
     """Config 2: FS2 conformer mel -> HiFi-GAN waveform, one fused graph."""
     import jax
     import jax.numpy as jnp
@@ -531,8 +548,11 @@ def stage_two_stage(t_mel=None, batch=None, suffix=""):
     )
     # plain tail: packing regresses the fused mel->HiFiGAN graph 3x
     # (0.159 -> 0.452 s/batch, bench r3d vs r3e) even though it wins on
-    # the one-stage decoders; matches infer.api's per-pipeline default
-    vocoder = HiFiGANGenerator(packed_tail=False)
+    # the one-stage decoders; matches infer.api's per-pipeline default.
+    # grouped=True probes the block-diagonal branch fold instead
+    # (generator.py:_grouped_stage — no layout reshapes, so lane filling
+    # can survive the fusion that broke the packed tail; VERDICT r4 #8)
+    vocoder = HiFiGANGenerator(packed_tail=False, grouped_mrf=grouped)
 
     rng = np.random.RandomState(0)
     key = jax.random.PRNGKey(0)
@@ -571,6 +591,13 @@ def stage_two_stage_t1008():
     """Two-stage serving at the 1008-frame length cap (VERDICT r3 item 7;
     keys: rtf_fs2_hifigan_two_stage_t1008)."""
     return stage_two_stage(t_mel=1008, batch=4, suffix="_t1008")
+
+
+def stage_two_stage_grouped():
+    """Two-stage graph with the grouped (block-diagonal) MRF tail fold —
+    the in-fusion lane-filling probe for the mfu_two_stage 0.19 weakness
+    (keys: rtf_fs2_hifigan_two_stage_grouped)."""
+    return stage_two_stage(suffix="_grouped", grouped=True)
 
 
 def stage_matcha(n_timesteps=10):
@@ -824,6 +851,32 @@ def stage_train_fs2_remat_b64():
     return _bench_fs2_train(False, remat=True, batch_size=64)
 
 
+def stage_train_fs2_flash():
+    """fp32 + flash attention (Pallas fwd AND bwd, in-kernel weight
+    dropout) at the reference's B=8 — the VERDICT r4 item-1 lever: no
+    (B,H,T,T) tensor in HBM in either direction
+    (keys: train_fs2_flash_*)."""
+    return _bench_fs2_train(False, attn="flash")
+
+
+def stage_train_fs2_flash_b64():
+    """Flash fwd+bwd at B=64 — the byte-bound regime where PERF_NOTES §2d
+    names flash-in-the-backward as the only remaining byte lever
+    (keys: train_fs2_flash_b64_*)."""
+    return _bench_fs2_train(False, attn="flash", batch_size=64)
+
+
+def stage_train_fs2_bf16_flash_b64():
+    """bf16 + flash at B=64 (keys: train_fs2_bf16_flash_b64_*)."""
+    return _bench_fs2_train(True, attn="flash", batch_size=64)
+
+
+def stage_train_fs2_flash_t1008():
+    """Flash fwd+bwd at T_mel=1008 where the score-tensor bytes quadruple
+    (keys: train_fs2_flash_t1008_*)."""
+    return _bench_fs2_train(False, attn="flash", t_mel=1008)
+
+
 def stage_train_fs2_t1008():
     """fp32 step at T_mel=1008 — the reference's max_seq_len: 1000 bucket
     (`/root/reference/config/model_config.yaml:2`), where the (B,H,T,T)
@@ -837,9 +890,12 @@ def stage_train_fs2_best_t1008():
     return _bench_fs2_train(True, remat=True, attn="dense", t_mel=1008)
 
 
-def stage_train_jets_gan(remat=False):
+def stage_train_jets_gan(remat=False, batch_size=None, attn=None):
     """Full-config JETS adversarial step: gen fwd, disc update on detached
-    segments, gen update vs the updated disc (`jets_trainer.py:135-200`)."""
+    segments, gen update vs the updated disc (`jets_trainer.py:135-200`).
+    ``batch_size`` probes the byte-bound regime (VERDICT r4 item 4: the
+    B=64 lever matrix was FS2-only); ``attn`` selects the generator's
+    attention implementation (flash = Pallas fwd+bwd)."""
     import jax
     import jax.numpy as jnp
 
@@ -856,6 +912,8 @@ def stage_train_jets_gan(remat=False):
     hp = dict(conf["models"]["jets"]["generator_params"])
     if remat:
         hp["remat"] = True
+    if attn is not None:
+        hp["attn_implementation"] = attn
     model = JETS(n_symbols=NUM_SYMBOLS, n_channels=80, hparams=hp, n_speakers=2)
     dp = conf["models"]["jets"].get("discriminator_params", {})
     disc = MultiScaleMultiPeriodDiscriminator(
@@ -886,7 +944,7 @@ def stage_train_jets_gan(remat=False):
     )
 
     rng = np.random.RandomState(0)
-    Bt, Tt, Tm = TRAIN_B, T_TEXT, T_MEL
+    Bt, Tt, Tm = (batch_size or TRAIN_B), T_TEXT, T_MEL
     batch = dict(
         text=jnp.asarray(rng.randint(1, NUM_SYMBOLS, (Bt, Tt)).astype(np.int32)),
         text_lengths=jnp.asarray(np.full(Bt, Tt, np.int32)),
@@ -923,9 +981,14 @@ def stage_train_jets_gan(remat=False):
 
     dt = _honest_time(run, gen_state, disc_state, batch, key)
     tag = "train_jets_gan_remat" if remat else "train_jets_gan"
+    if attn:
+        tag += f"_{attn}"
+    if batch_size:
+        tag += f"_b{batch_size}"
     out = {
         f"{tag}_steps_per_sec": 1.0 / dt,
         f"{tag}_sec_per_step": dt,
+        f"{tag}_samples_per_sec": Bt / dt,
     }
     cost = _cost_analysis(step, gen_state, disc_state, batch, key)
     if cost["flops"]:
@@ -939,6 +1002,56 @@ def stage_train_jets_gan_remat():
     """JETS adversarial step with per-layer remat on the generator's
     encoder/decoder stacks (hparams["remat"], espnet_{transformer,conformer})."""
     return stage_train_jets_gan(remat=True)
+
+
+def stage_train_jets_gan_b32():
+    """JETS adversarial step at B=32 — the segment-sliced vocoder backward
+    has a different byte profile than FS2's; the B=64 lesson was learned
+    on FS2 only (VERDICT r4 item 4; keys: train_jets_gan_b32_*)."""
+    return stage_train_jets_gan(batch_size=32)
+
+
+def stage_train_jets_gan_b32_flash():
+    """JETS adversarial step at B=32 with flash attention in the generator
+    (keys: train_jets_gan_flash_b32_*)."""
+    return stage_train_jets_gan(batch_size=32, attn="flash")
+
+
+def stage_train_fs2_variance():
+    """Repeated-trial variance of the B=8 train step (VERDICT r4 item 6):
+    r3 measured bf16 neutral, r4 measured +23% on the same nominal shape —
+    two contradictory single samples. 5 timings per precision in ONE
+    session (each itself a min-of-6), so the bf16 default can rest on a
+    median + spread instead."""
+    import jax
+
+    from viet_tts_tpu.train.steps import make_fs2_train_step
+
+    out = {}
+    medians = {}
+    for mixed, name in ((False, "fp32"), (True, "bf16")):
+        model, criterion, state, batch = _fs2_train_setup()
+        step = jax.jit(make_fs2_train_step(model, criterion, mixed))
+        key = jax.random.PRNGKey(0)
+
+        def run(state, batch, key):
+            _, metrics = step(state, batch, key)
+            return metrics["total"]
+
+        times = [_honest_time(run, state, batch, key) for _ in range(5)]
+        medians[name] = float(np.median(times))
+        out[f"train_fs2_{name}_trials_sec_per_step"] = [
+            round(t, 6) for t in times
+        ]
+        out[f"train_fs2_{name}_trial_min"] = min(times)
+        out[f"train_fs2_{name}_trial_median"] = medians[name]
+        out[f"train_fs2_{name}_trial_spread"] = (
+            (max(times) - min(times)) / min(times)
+        )
+    out["train_fs2_bf16_speedup_median"] = (
+        medians["fp32"] / medians["bf16"]
+    )
+    return out
 
 
 def stage_train_vits2():
@@ -1584,8 +1697,16 @@ STAGES = {
     "train_fs2_bf16_b32": stage_train_fs2_bf16_b32,
     "fs2_flash": stage_fs2_flash,
     "train_fs2_bf16_remat": stage_train_fs2_bf16_remat,
+    "train_fs2_flash": stage_train_fs2_flash,
+    "train_fs2_flash_b64": stage_train_fs2_flash_b64,
+    "train_fs2_bf16_flash_b64": stage_train_fs2_bf16_flash_b64,
+    "train_fs2_flash_t1008": stage_train_fs2_flash_t1008,
+    "train_fs2_variance": stage_train_fs2_variance,
     "train_jets_gan": stage_train_jets_gan,
     "train_jets_gan_remat": stage_train_jets_gan_remat,
+    "train_jets_gan_b32": stage_train_jets_gan_b32,
+    "train_jets_gan_b32_flash": stage_train_jets_gan_b32_flash,
+    "stream_ttfa_long": stage_stream_ttfa_long,
     "train_vits2": stage_train_vits2,
     "jets_fused": stage_jets_fused,
     "jets_imported": stage_jets_imported,
@@ -1594,6 +1715,7 @@ STAGES = {
     "jets_unpacked": stage_jets_unpacked,
     "jets_t1008": stage_jets_t1008,
     "two_stage_t1008": stage_two_stage_t1008,
+    "two_stage_grouped": stage_two_stage_grouped,
     "train_fs2_b64": stage_train_fs2_b64,
     "train_fs2_best_b64": stage_train_fs2_best_b64,
     "train_fs2_bf16_b64": stage_train_fs2_bf16_b64,
@@ -1638,9 +1760,16 @@ PROCESS_GROUPS = [
     ("tpu_train", ["train_fs2", "train_fs2_bf16"], 600, "tpu"),
     # --- everything below is additive evidence; a budget cut-off here
     # loses no required key ---
-    ("tpu_serve_extra", ["stream_ttfa", "jets_t1008", "two_stage_t1008"],
-     900, "tpu"),
+    # the r5 headline question: flash fwd+bwd vs the byte ceiling
+    ("tpu_train_flash", ["train_fs2_flash_b64", "train_fs2_flash",
+                         "train_fs2_bf16_flash_b64",
+                         "train_fs2_flash_t1008"], 1500, "tpu"),
+    ("tpu_serve_extra", ["stream_ttfa", "stream_ttfa_long", "jets_t1008",
+                         "two_stage_t1008", "two_stage_grouped"], 900, "tpu"),
     ("tpu_train2", ["train_jets_gan", "train_vits2"], 1200, "tpu"),
+    ("tpu_gan_deep", ["train_jets_gan_b32", "train_jets_gan_b32_flash"],
+     1200, "tpu"),
+    ("tpu_variance", ["train_fs2_variance"], 900, "tpu"),
     # jets_b64 compiles two fresh B=64 executables (fp32 + bf16): the most
     # compile-expensive stage in the suite; own group so a slow remote
     # compile can only forfeit itself. bf16 rides the same child (fp32
@@ -1789,7 +1918,10 @@ COMPACT_KEYS = (
     "train_fs2_steps_per_sec", "train_fs2_sec_per_step", "train_fs2_mfu",
     "train_fs2_bf16_steps_per_sec", "train_fs2_bf16_mfu",
     "train_fs2_b64_mfu", "train_fs2_t1008_mfu",
+    "train_fs2_flash_mfu", "train_fs2_flash_b64_mfu",
+    "train_fs2_flash_t1008_mfu", "train_fs2_bf16_speedup_median",
     "train_jets_gan_steps_per_sec", "train_jets_gan_mfu",
+    "train_jets_gan_b32_mfu", "ttfa_speedup_long",
     "mcd_vs_reference", "mcd_vs_reference_jets", "mcd_vs_reference_vits2",
     "mcd_vs_reference_matcha", "mcd_bf16_vs_fp32", "lsd_bf16_vs_fp32_db",
     "ttfa_stream_s", "ttfa_full_decode_s", "ttfa_speedup",

@@ -135,17 +135,20 @@ def test_flash_bwd_kernels_rel_plain_match_dense(flavour, T):
     w = mk(6, Bh, Hh, T, Dh)
     scale = 1.0 / np.sqrt(Dh)
 
+    seed = jnp.zeros((1,), jnp.int32)
     if flavour == "rel":
-        op_args = (qc, k, v, gp, tab, pad, scale)
+        op_args = (qc, k, v, gp, tab, pad, seed, scale, 0.0)
         op = pa._rel_op
         dense = lambda qc, k, v, gp, tab: pa._rel_dense(
-            qc, k, v, gp, tab, pad, scale=scale
+            qc, k, v, gp, tab, pad, seed, scale=scale
         )[0]
         diff_args = (qc, k, v, gp, tab)
     else:
-        op_args = (qc, k, v, pad, scale)
+        op_args = (qc, k, v, pad, seed, scale, 0.0)
         op = pa._plain_op
-        dense = lambda q, k, v: pa._plain_dense(q, k, v, pad, scale=scale)[0]
+        dense = lambda q, k, v: pa._plain_dense(
+            q, k, v, pad, seed, scale=scale
+        )[0]
         diff_args = (qc, k, v)
 
     n = len(diff_args)
@@ -158,6 +161,101 @@ def test_flash_bwd_kernels_rel_plain_match_dense(flavour, T):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5
         )
+
+
+def test_flash_dropout_semantics_cpu_fallback():
+    """Attention-weight dropout through the flash entry points.  On CPU
+    the op lowers the dense fallback (the TPU interpreter stubs the
+    on-core PRNG — see _dispatch); this pins the fallback's semantics:
+    deterministic in the seed, mean-preserving over seeds, and the custom
+    VJP equal to autodiff of the same masked dense forward.  The Pallas
+    in-kernel dropout is validated on the real chip by
+    tools/flash_bwd_probe.py --dropout."""
+    import viet_tts_tpu.ops.pallas_attention as pa
+
+    T = 32
+    q, k, v, u, v_b, pk, table, scale = _inputs(T, seed=50)
+    pad = jnp.arange(T)[None, :] >= jnp.asarray([T, T - 5])[:, None]
+
+    def run(seed_val, dropout_p):
+        return xl_attention(
+            q, k, v, u, v_b, pk, table, scale, pad_mask=pad,
+            implementation="flash", dropout_p=dropout_p,
+            dropout_rng=jax.random.PRNGKey(seed_val),
+        )
+
+    a = run(3, 0.5)
+    b = run(3, 0.5)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    c = run(4, 0.5)
+    assert np.abs(np.asarray(a) - np.asarray(c)).max() > 1e-4
+    # mean over seeds approaches the no-dropout output (keep-scaling)
+    base = run(0, 0.0)
+    mean = np.mean(
+        [np.asarray(run(s, 0.5)) for s in range(40)], axis=0
+    )
+    err = np.abs(mean - np.asarray(base)).mean() / (
+        np.abs(np.asarray(base)).mean() + 1e-9
+    )
+    assert err < 0.25, err
+
+    # custom VJP == autodiff of the identically-masked dense forward
+    seed = jnp.asarray([11], jnp.int32)
+    w = _rand(21, B, T, H * D)
+    hm = lambda x: jnp.transpose(x, (0, 2, 1, 3)).astype(jnp.float32)
+    from viet_tts_tpu.ops.xl_attention import xl_pos_queries
+
+    qc, gstreams = q + u, xl_pos_queries(q + v_b, pk)
+    args = (hm(qc), hm(k), hm(v), hm(gstreams[0]), hm(gstreams[1]),
+            table.astype(jnp.float32))
+    padf = pad.astype(jnp.float32)
+    wh = hm(w.reshape(B, T, H, D))
+
+    def loss_op(*a):
+        return jnp.sum(pa._xl_op(*a, padf, seed, scale, 0.5) * wh)
+
+    def loss_dense(*a):
+        return jnp.sum(
+            pa._xl_dense(*a, padf, seed, scale=scale, dropout_p=0.5)[0] * wh
+        )
+
+    g_op = jax.grad(loss_op, argnums=tuple(range(6)))(*args)
+    g_ref = jax.grad(loss_dense, argnums=tuple(range(6)))(*args)
+    for x, y in zip(g_op, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), rtol=5e-5, atol=5e-6
+        )
+
+
+def test_conformer_flash_dropout_trains():
+    """Training-mode conformer with flash attention + dropout > 0 must
+    run end-to-end (per-call seed drawn off the dropout RNG stream) and
+    produce finite grads."""
+    from viet_tts_tpu.nn.conformer import ConformerEncoder
+
+    T = 32
+    ids = jax.random.randint(jax.random.PRNGKey(0), (2, T), 0, 40)
+    pad = jnp.arange(T)[None, :] >= jnp.asarray([T, T - 7])[:, None]
+    enc = ConformerEncoder(
+        n_symbols=40, n_layers=1, d_model=64, max_seq_len=128,
+        num_heads=4, dropout=0.2, mask_attn_keys=True,
+        attn_implementation="flash",
+    )
+    params = enc.init(jax.random.PRNGKey(1), ids, pad)
+
+    def loss(p):
+        (out, _), _ = enc.apply(
+            p, ids, pad, True,
+            rngs={"dropout": jax.random.PRNGKey(2)},
+            mutable=["batch_stats"],
+        )
+        return jnp.sum(out ** 2)
+
+    g = jax.grad(loss)(params)
+    assert all(
+        np.isfinite(np.asarray(leaf)).all()
+        for leaf in jax.tree_util.tree_leaves(g)
+    )
 
 
 def test_flash_cpu_fallback_no_interpret():

@@ -24,6 +24,73 @@ enable_persistent_cache("/root/repo")
 import viet_tts_tpu.ops.pallas_attention as pa  # noqa: E402
 
 
+def dropout_probe():
+    """In-kernel dropout validation on the real chip (the TPU interpreter
+    stubs prng_random_bits, so this cannot run under CPU tests):
+    determinism in the seed, seed sensitivity, mean preservation over
+    seeds, and finite-difference consistency of the custom VJP with the
+    SAME seed (out is linear in v given a fixed mask, so the v-direction
+    FD is exact up to fp error)."""
+    B, H, T, D, E = 2, 2, 128, 32, 128
+    mk = lambda s, *shape: jax.random.normal(
+        jax.random.PRNGKey(s), shape, jnp.float32
+    )
+    qc, k, v = mk(1, B, H, T, D), mk(2, B, H, T, D), mk(3, B, H, T, D)
+    gA, gB = mk(4, B, H, T, E), mk(5, B, H, T, E)
+    tab = mk(6, T, E) / np.sqrt(E)
+    pad = jnp.zeros((B, T), jnp.float32)
+    w = mk(7, B, H, T, D)
+    scale = 1.0 / np.sqrt(D)
+    P = 0.3
+
+    op = jax.jit(
+        lambda seed, v_, p: pa._xl_op(qc, k, v_, gA, gB, tab, pad, seed,
+                                      scale, p),
+        static_argnums=(2,),
+    )
+    s13 = jnp.asarray([13], jnp.int32)
+    a = np.asarray(op(s13, v, P))
+    b = np.asarray(op(s13, v, P))
+    c = np.asarray(op(jnp.asarray([14], jnp.int32), v, P))
+    base = np.asarray(op(s13, v, 0.0))
+    mean = np.mean(
+        [np.asarray(op(jnp.asarray([s], jnp.int32), v, P))
+         for s in range(24)], axis=0,
+    )
+    mean_err = float(np.abs(mean - base).mean() / np.abs(base).mean())
+
+    loss = jax.jit(
+        lambda v_, seed, p: jnp.sum(
+            pa._xl_op(qc, k, v_, gA, gB, tab, pad, seed, scale, p) * w
+        ),
+        static_argnums=(2,),
+    )
+    gv = jax.jit(jax.grad(loss, argnums=0), static_argnums=(2,))(v, s13, P)
+    d = mk(8, B, H, T, D)
+    eps = 2.0
+    fd = (float(loss(v + eps * d, s13, P))
+          - float(loss(v - eps * d, s13, P))) / (2 * eps)
+    analytic = float(jnp.vdot(gv, d))
+    # out is LINEAR in v given a fixed mask, so loss(v) == vdot(dv, v)
+    # EXACTLY (both equal w^T A v); a fwd/bwd mask mismatch breaks this
+    # identity by O(dropped mass), far above fp32 accumulation noise
+    linear_identity_rel_err = abs(
+        float(loss(v, s13, P)) - float(jnp.vdot(gv, v))
+    ) / (abs(float(loss(v, s13, P))) + 1e-12)
+    print(json.dumps({
+        "probe": "dropout",
+        "deterministic": bool((a == b).all()),
+        "seed_sensitive": bool((a != c).any()),
+        "drop_fraction_effect": float(np.abs(a - base).mean()
+                                      / np.abs(base).mean()),
+        "mean_over_24_seeds_rel_err": round(mean_err, 4),
+        "fd_vs_analytic_rel_err": round(
+            abs(fd - analytic) / (abs(analytic) + 1e-12), 6),
+        "linear_identity_rel_err": round(linear_identity_rel_err, 8),
+        "platform": jax.devices()[0].platform,
+    }), flush=True)
+
+
 def main():
     B, H, T, D, E = 4, 4, 256, 48, 384
     mk = lambda s, *shape: jax.random.normal(
@@ -40,20 +107,25 @@ def main():
     w = mk(7, B, H, T, D)
     scale = 1.0 / np.sqrt(D)
 
+    seed0 = jnp.zeros((1,), jnp.int32)
     cases = {
         "xl": (
-            lambda *a: jnp.sum(pa._xl_op(*a, pad, scale) * w),
-            lambda *a: jnp.sum(pa._xl_dense(*a, pad, scale=scale)[0] * w),
+            lambda *a: jnp.sum(pa._xl_op(*a, pad, seed0, scale, 0.0) * w),
+            lambda *a: jnp.sum(
+                pa._xl_dense(*a, pad, seed0, scale=scale)[0] * w),
             (qc, k, v, gA, gB, tab),
         ),
         "rel": (
-            lambda *a: jnp.sum(pa._rel_op(*a, pad, scale) * w),
-            lambda *a: jnp.sum(pa._rel_dense(*a, pad, scale=scale)[0] * w),
+            lambda *a: jnp.sum(pa._rel_op(*a, pad, seed0, scale, 0.0) * w),
+            lambda *a: jnp.sum(
+                pa._rel_dense(*a, pad, seed0, scale=scale)[0] * w),
             (qc, k, v, gA, tab),
         ),
         "plain": (
-            lambda *a: jnp.sum(pa._plain_op(*a, pad, scale) * w),
-            lambda *a: jnp.sum(pa._plain_dense(*a, pad, scale=scale)[0] * w),
+            lambda *a: jnp.sum(
+                pa._plain_op(*a, pad, seed0, scale, 0.0) * w),
+            lambda *a: jnp.sum(
+                pa._plain_dense(*a, pad, seed0, scale=scale)[0] * w),
             (qc, k, v),
         ),
     }
@@ -80,4 +152,8 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--dropout" in sys.argv:
+        dropout_probe()
+    else:
+        main()
+        dropout_probe()

@@ -168,6 +168,16 @@ class HiFiGANGenerator(nn.Module):
     # but packing is only wired for the no-grad serving path. Takes
     # precedence over fused_mrf on stages where both apply.
     packed_tail: bool = False
+    # Inference fast-path probe for the FUSED mel->wav graphs (where the
+    # packed tail's pack/unpack reshapes break XLA's fusion and regress 3x
+    # — PERF_NOTES §1): fold each tail stage's 3 parallel resblock branches
+    # into ONE dense conv chain over 3*ch channels with block-diagonal,
+    # width-padded kernels (k=3/7/11 all centred in k=11) and the branch
+    # mean at the end. No layout reshapes — the time axis is untouched —
+    # so lane filling (3*ch vs ch) can survive fusion. Trades ~4.7x MACs
+    # at ch=32 for 3x lane occupancy; numerically exact vs the layer path
+    # (zero taps + block-diag zeros). Takes precedence after packed_tail.
+    grouped_mrf: bool = False
 
     def _effective_kernel(self, p):
         return effective_wn_kernel(p, self.use_weight_norm)
@@ -273,6 +283,64 @@ class HiFiGANGenerator(nn.Module):
             acc = acc + xb
         return unpack_time(acc / len(self.resblock_kernel_sizes), r)
 
+    def _grouped_stage(self, x: jnp.ndarray, i: int, ch: int) -> jnp.ndarray:
+        """Evaluate stage i's residual trio as ONE conv chain over the
+        branch-concatenated (B, T, n*ch) tensor with block-diagonal
+        kernels (each branch's k_j kernel centred inside k_max taps —
+        zero taps make the wide conv exactly the narrow one under SAME
+        padding). Residual adds / leaky_relu / biases are elementwise, so
+        only the kernels need the fold; HiFi-GAN V1's branches share one
+        dilation schedule, asserted below."""
+        n = len(self.resblock_kernel_sizes)
+        k_max = max(self.resblock_kernel_sizes)
+        dils = tuple(self.resblock_dilations[0])
+        assert all(tuple(d) == dils for d in self.resblock_dilations), (
+            "grouped_mrf requires a shared dilation schedule across branches"
+        )
+
+        def blockdiag(kernels):
+            w = jnp.zeros((k_max, n * ch, n * ch), kernels[0].dtype)
+            for j, kj in enumerate(kernels):
+                pad = (k_max - kj.shape[0]) // 2
+                w = w.at[
+                    pad:pad + kj.shape[0],
+                    j * ch:(j + 1) * ch,
+                    j * ch:(j + 1) * ch,
+                ].set(kj)
+            return w
+
+        params = [
+            self.get_variable("params", f"block_{i}_{j}") for j in range(n)
+        ]
+        xb = jnp.concatenate([x] * n, axis=-1)
+        for di, d in enumerate(dils):
+            w1 = blockdiag(
+                [self._effective_kernel(p[f"conv1_{di}"]) for p in params]
+            )
+            b1 = jnp.concatenate(
+                [p[f"conv1_{di}"]["conv"]["bias"] for p in params]
+            )
+            xt = nn.leaky_relu(xb, self.lrelu_slope)
+            xt = jax.lax.conv_general_dilated(
+                xt.astype(w1.dtype), w1, (1,), "SAME", rhs_dilation=(d,),
+                dimension_numbers=("NWC", "WIO", "NWC"),
+            ) + b1
+            if self.use_additional_convs:
+                w2 = blockdiag(
+                    [self._effective_kernel(p[f"conv2_{di}"]) for p in params]
+                )
+                b2 = jnp.concatenate(
+                    [p[f"conv2_{di}"]["conv"]["bias"] for p in params]
+                )
+                xt = nn.leaky_relu(xt, self.lrelu_slope)
+                xt = jax.lax.conv_general_dilated(
+                    xt.astype(w2.dtype), w2, (1,), "SAME",
+                    dimension_numbers=("NWC", "WIO", "NWC"),
+                ) + b2
+            xb = xb + xt
+        B, T, _ = xb.shape
+        return jnp.mean(xb.reshape(B, T, n, ch), axis=2)
+
     @nn.compact
     def __call__(
         self, c: jnp.ndarray, g: Optional[jnp.ndarray] = None
@@ -310,6 +378,13 @@ class HiFiGANGenerator(nn.Module):
                 and x.shape[1] % pack_r == 0
             ):
                 x = self._packed_stage(x, i, ch, pack_r)
+            elif (
+                self.grouped_mrf
+                and ch < 128
+                and n_blocks > 1
+                and not self.is_initializing()
+            ):
+                x = self._grouped_stage(x, i, ch)
             elif (
                 self.fused_mrf
                 # the kernel evaluates the fixed conv1->conv2 chain; without

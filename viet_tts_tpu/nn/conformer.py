@@ -9,6 +9,7 @@ final LayerNorm, padding zeroed at block end.
 
 from __future__ import annotations
 
+import jax
 import math
 from typing import Optional, Tuple
 
@@ -55,9 +56,12 @@ class RelativeMultiHeadAttention(nn.Module):
       matmuls + iota-select, no shift copies; attention-weight dropout
       still applies (weights are materialised).
     - "flash": the fused Pallas kernel (`ops/pallas_attention.py`) — the
-      (B, H, T, T) tensor never reaches HBM. No attention-weight dropout
-      exists on this path, so when ``train`` and ``dropout > 0`` it
-      resolves to "dense" to keep training semantics.
+      (B, H, T, T) tensor never reaches HBM in either direction (fwd
+      online softmax; bwd recomputes probability tiles in VMEM).
+      Attention-weight dropout runs INSIDE the kernel from the on-core
+      PRNG (mask regenerated in fwd and bwd from one per-call seed drawn
+      off the module's "dropout" RNG stream), so training keeps flax
+      nn.Dropout semantics without materialising weights.
     """
 
     d_model: int
@@ -101,8 +105,6 @@ class RelativeMultiHeadAttention(nn.Module):
         scale = 1.0 / jnp.sqrt(jnp.asarray(self.d_model, x.dtype))
 
         impl = self.attn_implementation
-        if impl == "flash" and train and self.dropout > 0.0:
-            impl = "dense"  # keep attention-weight dropout semantics
 
         if impl != "shift":
             # static float: the Pallas kernel closes over scale at trace
@@ -125,10 +127,17 @@ class RelativeMultiHeadAttention(nn.Module):
                     flash_xl_attention,
                 )
 
+                drop_p, seed = 0.0, None
+                if train and self.dropout > 0.0:
+                    drop_p = self.dropout
+                    seed = jax.random.randint(
+                        self.make_rng("dropout"), (1,), 0,
+                        jnp.iinfo(jnp.int32).max, dtype=jnp.int32,
+                    )
                 gA, gB = xl_pos_queries(q + v_bias, pos_kernel)
                 ctx = flash_xl_attention(
                     q + u_bias, k, v, gA, gB, table, scale,
-                    pad_mask=pad_mask,
+                    pad_mask=pad_mask, dropout_p=drop_p, dropout_seed=seed,
                 )
                 return nn.Dense(self.d_model, name="out_proj")(ctx)
             gA, gB = xl_pos_queries(q + v_bias, pos_kernel)

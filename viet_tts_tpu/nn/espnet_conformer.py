@@ -21,6 +21,7 @@ style, CNN module, conv1d positionwise layers). Components:
 from __future__ import annotations
 
 import functools
+import jax
 import math
 from typing import Optional, Tuple
 
@@ -75,10 +76,11 @@ class RelPositionMultiHeadedAttention(nn.Module):
       `ops/xl_attention.py`) — plain matmuls, no shift copies;
       attention-weight dropout still applies.
     - "flash": the fused Pallas kernels (`ops/pallas_attention.py`) — the
-      (B, H, T, T) tensor never reaches HBM. Resolves to "dense" when
-      ``train`` and ``dropout > 0`` (no in-kernel weight dropout). The
-      post-softmax zeroing of invalid keys is a no-op for any row with a
-      valid key and is skipped inside the kernel.
+      (B, H, T, T) tensor never reaches HBM in either direction; weight
+      dropout runs inside the kernel (on-core PRNG, one per-call seed off
+      the "dropout" stream). The post-softmax zeroing of invalid keys is
+      a no-op for any row with a valid key and is skipped inside the
+      kernel.
     """
 
     d_model: int
@@ -101,8 +103,6 @@ class RelPositionMultiHeadedAttention(nn.Module):
         scale = 1.0 / jnp.sqrt(jnp.asarray(D, x.dtype))
 
         impl = self.attn_implementation
-        if impl == "flash" and train and self.dropout > 0.0:
-            impl = "dense"  # keep attention-weight dropout semantics
 
         if impl != "shift":
             # static float: the Pallas kernel closes over scale at trace
@@ -126,6 +126,13 @@ class RelPositionMultiHeadedAttention(nn.Module):
             # valid_mask here is (B, T) (the conformer layers get it raw;
             # the broadcast to (B, 1, 1, T) happens at score time)
             pad_mask = None if valid_mask is None else ~valid_mask
+            drop_p, seed = 0.0, None
+            if impl == "flash" and train and self.dropout > 0.0:
+                drop_p = self.dropout
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (1,), 0,
+                    jnp.iinfo(jnp.int32).max, dtype=jnp.int32,
+                )
             if self.legacy:
                 gA, gB = xl_pos_queries(q + w, pos_kernel)
                 if impl == "flash":
@@ -135,7 +142,8 @@ class RelPositionMultiHeadedAttention(nn.Module):
 
                     ctx = flash_xl_attention(
                         q + u, k, v, gA, gB, table, scale,
-                        pad_mask=pad_mask,
+                        pad_mask=pad_mask, dropout_p=drop_p,
+                        dropout_seed=seed,
                     )
                     return nn.Dense(self.d_model, name="linear_out")(ctx)
                 scores = xl_attention_scores(q + u, k, gA, gB, table, scale)
@@ -148,7 +156,8 @@ class RelPositionMultiHeadedAttention(nn.Module):
                     )
 
                     ctx = flash_rel_attention(
-                        q + u, k, v, g, neg, scale, pad_mask=pad_mask
+                        q + u, k, v, g, neg, scale, pad_mask=pad_mask,
+                        dropout_p=drop_p, dropout_seed=seed,
                     )
                     return nn.Dense(self.d_model, name="linear_out")(ctx)
                 scores = espnet_rel_scores_latest(q + u, k, g, neg, scale)

@@ -55,8 +55,9 @@ class EspnetSelfAttention(nn.Module):
 
     ``attn_implementation="flash"`` routes through the fused Pallas kernel
     (`ops/pallas_attention.py:flash_attention`) — no (B, H, T, T) score
-    tensor in HBM; resolves to the dense path when ``train`` and
-    ``dropout > 0`` (attention-weight dropout needs the weights)."""
+    tensor in HBM in either direction; attention-weight dropout runs
+    inside the kernel (on-core PRNG, per-call seed off the "dropout"
+    stream)."""
 
     d_model: int
     num_heads: int
@@ -70,15 +71,22 @@ class EspnetSelfAttention(nn.Module):
         q = nn.Dense(self.d_model, name="linear_q")(x).reshape(B, T, H, D)
         k = nn.Dense(self.d_model, name="linear_k")(x).reshape(B, T, H, D)
         v = nn.Dense(self.d_model, name="linear_v")(x).reshape(B, T, H, D)
-        if (
-            self.attn_implementation == "flash"
-            and not (train and self.dropout > 0.0)
-        ):
+        if self.attn_implementation == "flash":
+            import jax
+
             from viet_tts_tpu.ops.pallas_attention import flash_attention
 
+            drop_p, seed = 0.0, None
+            if train and self.dropout > 0.0:
+                drop_p = self.dropout
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (1,), 0,
+                    jnp.iinfo(jnp.int32).max, dtype=jnp.int32,
+                )
             pad_mask = None if valid_mask is None else ~valid_mask[:, 0]
             ctx = flash_attention(
-                q, k, v, 1.0 / float(np.sqrt(D)), pad_mask=pad_mask
+                q, k, v, 1.0 / float(np.sqrt(D)), pad_mask=pad_mask,
+                dropout_p=drop_p, dropout_seed=seed,
             )
             return nn.Dense(self.d_model, name="linear_out")(ctx)
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(

@@ -65,11 +65,21 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 MASK_NEG = -1.0e9
 _LANES = 128
+
+
+def _zero_seed():
+    return jnp.zeros((1,), jnp.int32)
+
+
+def _seed_cotangent(seed):
+    """custom_vjp cotangent for the integer seed operand (float0)."""
+    return np.zeros(seed.shape, dtype=jax.dtypes.float0)
 
 
 def _block_size(t: int, preferred: int = 128) -> int:
@@ -96,18 +106,26 @@ def _interpret_forced() -> bool:
         return False
 
 
-def _dispatch(pallas_fn, dense_fn, operands, scale):
+def _dispatch(pallas_fn, dense_fn, operands, scale, dropout_p=0.0):
     """Resolve at lowering time: the Pallas kernel on TPU (or anywhere
     under forced interpret mode), the dense factorized oracle on every
     other backend.  Eager CPU execution (`train/state.py:init_on_cpu`),
     the virtual-CPU multi-chip dryrun, and CPU test meshes all lower the
-    dense branch; real-chip executables lower only the kernel."""
+    dense branch; real-chip executables lower only the kernel.
+
+    Exception: dropout_p > 0 under forced interpret mode takes the dense
+    branch — the TPU interpreter stubs `prng_random_bits` to zeros
+    (jax/_src/pallas/mosaic/interpret/interpret_pallas_call.py), so the
+    in-kernel mask would keep everything while still scaling by 1/keep.
+    The real-chip dropout path is validated by tools/flash_bwd_probe.py."""
     if _interpret_forced():
-        return pallas_fn(*operands, scale=scale)
+        if dropout_p > 0.0:
+            return dense_fn(*operands, scale=scale, dropout_p=dropout_p)
+        return pallas_fn(*operands, scale=scale, dropout_p=0.0)
     return jax.lax.platform_dependent(
         *operands,
-        tpu=functools.partial(pallas_fn, scale=scale),
-        default=functools.partial(dense_fn, scale=scale),
+        tpu=functools.partial(pallas_fn, scale=scale, dropout_p=dropout_p),
+        default=functools.partial(dense_fn, scale=scale, dropout_p=dropout_p),
     )
 
 
@@ -137,8 +155,44 @@ def _dot_0(a, b):
 # --------------------------------------------------------------------------
 
 
+def _tile_dropout_mask(seed_ref, tile_id, shape, dropout_p):
+    """Attention-weight dropout mask for one (bq, bk) tile, from the
+    on-core PRNG seeded by (step seed, flattened tile id) — the tile id
+    encodes (batch, head, q-block, k-block) identically in the forward
+    and BOTH backward kernels (Mosaic caps prng_seed at 2 values), so
+    the mask regenerates bit-identically across all three grids without
+    ever existing in HBM.  Matches flax nn.Dropout semantics (iid
+    Bernoulli on the post-softmax weights, kept weights scaled by 1/keep
+    — scaling is applied by the callers)."""
+    pltpu.prng_seed(seed_ref[0], tile_id)
+    bits = pltpu.prng_random_bits(shape).astype(jnp.uint32)
+    keep = 1.0 - dropout_p
+    thresh = jnp.uint32(min(int(keep * 4294967296.0), 4294967295))
+    return (bits < thresh).astype(jnp.float32)
+
+
+def _fwd_tile_id(iq, ik):
+    """Flattened (b, h, q-block, k-block) for the forward / bwd-q grids
+    (B, H, nq, nk)."""
+    b, h = pl.program_id(0), pl.program_id(1)
+    n_h, n_q, n_k = (
+        pl.num_programs(1), pl.num_programs(2), pl.num_programs(3),
+    )
+    return ((b * n_h + h) * n_q + iq) * n_k + ik
+
+
+def _kv_tile_id(iq, ik):
+    """The SAME flattened tile id computed from the bwd-kv grid
+    (nk, B, H, nq) — key axis outermost."""
+    b, h = pl.program_id(1), pl.program_id(2)
+    n_h, n_q = pl.num_programs(2), pl.num_programs(3)
+    n_k = pl.num_programs(0)
+    return ((b * n_h + h) * n_q + iq) * n_k + ik
+
+
 def _online_softmax_step(
-    logits, v_tile, out_ref, lse_ref, m_scr, l_scr, acc_scr, ik, nk
+    logits, v_tile, out_ref, lse_ref, m_scr, l_scr, acc_scr, ik, nk,
+    drop_mask=None, keep=1.0,
 ):
     """One flash step: fold this key block's logits into the running
     (max, denom, accumulator); emit the normalized context and the row
@@ -156,8 +210,11 @@ def _online_softmax_step(
     m_new = jnp.maximum(m_prev, m_cur)
     p = jnp.exp(logits - m_new)
     corr = jnp.exp(m_prev - m_new)
+    # the denominator accumulates the UNdropped weights (dense drops after
+    # softmax, so dropout never touches the normalizer)
     l_new = l_scr[:, :1] * corr + jnp.sum(p, axis=-1, keepdims=True)
-    pv = _dot(p, v_tile)
+    p_v = p if drop_mask is None else p * (drop_mask * (1.0 / keep))
+    pv = _dot(p_v, v_tile)
     acc_scr[:] = acc_scr[:] * corr + pv
     m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
     l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
@@ -188,8 +245,9 @@ def _xl_pos_select(pa, pb, iq, ik, bq, bk):
 
 
 def _xl_kernel(
-    qc_ref, k_ref, v_ref, ga_ref, gb_ref, tab_ref, pad_ref,
-    out_ref, lse_ref, m_scr, l_scr, acc_scr, *, scale, bq, bk, t_kv,
+    qc_ref, k_ref, v_ref, ga_ref, gb_ref, tab_ref, pad_ref, seed_ref,
+    out_ref, lse_ref, m_scr, l_scr, acc_scr,
+    *, scale, bq, bk, t_kv, dropout_p,
 ):
     iq, ik = pl.program_id(2), pl.program_id(3)
     s = _dot_t(qc_ref[0, 0], k_ref[0, 0])
@@ -199,45 +257,63 @@ def _xl_kernel(
     logits = (s + pos) * scale
     dead = (pad_ref[0, 0][None, :] > 0.5) | (j >= t_kv)
     logits = jnp.where(dead, MASK_NEG, logits)
+    mask = (
+        _tile_dropout_mask(seed_ref, _fwd_tile_id(iq, ik), (bq, bk),
+                           dropout_p)
+        if dropout_p > 0.0 else None
+    )
     _online_softmax_step(
         logits, v_ref[0, 0], out_ref, lse_ref, m_scr, l_scr, acc_scr,
-        ik, pl.num_programs(3),
+        ik, pl.num_programs(3), mask, 1.0 - dropout_p,
     )
 
 
 def _rel_kernel(
-    qc_ref, k_ref, v_ref, g_ref, tab_ref, pad_ref,
-    out_ref, lse_ref, m_scr, l_scr, acc_scr, *, scale, bq, bk, t_kv,
+    qc_ref, k_ref, v_ref, g_ref, tab_ref, pad_ref, seed_ref,
+    out_ref, lse_ref, m_scr, l_scr, acc_scr,
+    *, scale, bq, bk, t_kv, dropout_p,
 ):
-    ik = pl.program_id(3)
+    iq, ik = pl.program_id(2), pl.program_id(3)
     s = _dot_t(qc_ref[0, 0], k_ref[0, 0])
     pos = _dot_t(g_ref[0, 0], tab_ref[:])
     logits = (s + pos) * scale
     j = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + ik * bk
     dead = (pad_ref[0, 0][None, :] > 0.5) | (j >= t_kv)
     logits = jnp.where(dead, MASK_NEG, logits)
+    mask = (
+        _tile_dropout_mask(seed_ref, _fwd_tile_id(iq, ik), (bq, bk),
+                           dropout_p)
+        if dropout_p > 0.0 else None
+    )
     _online_softmax_step(
         logits, v_ref[0, 0], out_ref, lse_ref, m_scr, l_scr, acc_scr,
-        ik, pl.num_programs(3),
+        ik, pl.num_programs(3), mask, 1.0 - dropout_p,
     )
 
 
 def _plain_kernel(
-    q_ref, k_ref, v_ref, pad_ref,
-    out_ref, lse_ref, m_scr, l_scr, acc_scr, *, scale, bq, bk, t_kv,
+    q_ref, k_ref, v_ref, pad_ref, seed_ref,
+    out_ref, lse_ref, m_scr, l_scr, acc_scr,
+    *, scale, bq, bk, t_kv, dropout_p,
 ):
-    ik = pl.program_id(3)
+    iq, ik = pl.program_id(2), pl.program_id(3)
     logits = _dot_t(q_ref[0, 0], k_ref[0, 0]) * scale
     j = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + ik * bk
     dead = (pad_ref[0, 0][None, :] > 0.5) | (j >= t_kv)
     logits = jnp.where(dead, MASK_NEG, logits)
+    mask = (
+        _tile_dropout_mask(seed_ref, _fwd_tile_id(iq, ik), (bq, bk),
+                           dropout_p)
+        if dropout_p > 0.0 else None
+    )
     _online_softmax_step(
         logits, v_ref[0, 0], out_ref, lse_ref, m_scr, l_scr, acc_scr,
-        ik, pl.num_programs(3),
+        ik, pl.num_programs(3), mask, 1.0 - dropout_p,
     )
 
 
-def _call_flash(kernel_fn, q_streams, k_streams, v, tables, pad, scale):
+def _call_flash(kernel_fn, q_streams, k_streams, v, tables, pad, seed,
+                scale, dropout_p):
     """Shared forward pallas_call builder.
 
     q_streams: list of (B, H, T, Dq) query-side tensors (block over q);
@@ -263,7 +339,7 @@ def _call_flash(kernel_fn, q_streams, k_streams, v, tables, pad, scale):
 
     args = (
         [q_streams[0]] + k_streams + [v] + q_streams[1:] + tables
-        + [pad.reshape(B, 1, T)]
+        + [pad.reshape(B, 1, T), seed]
     )
     in_specs = (
         [q_spec(q_streams[0].shape[-1])]
@@ -271,10 +347,11 @@ def _call_flash(kernel_fn, q_streams, k_streams, v, tables, pad, scale):
         + [k_spec(D)]
         + [q_spec(s.shape[-1]) for s in q_streams[1:]]
         + [tab_spec(t.shape[-1]) for t in tables]
-        + [pad_spec]
+        + [pad_spec, pl.BlockSpec(memory_space=pltpu.SMEM)]
     )
     kernel = functools.partial(
-        kernel_fn, scale=float(scale), bq=bq, bk=bk, t_kv=T
+        kernel_fn, scale=float(scale), bq=bq, bk=bk, t_kv=T,
+        dropout_p=float(dropout_p),
     )
     return pl.pallas_call(
         kernel,
@@ -301,26 +378,36 @@ def _call_flash(kernel_fn, q_streams, k_streams, v, tables, pad, scale):
 # --------------------------------------------------------------------------
 
 
-def _p_ds(raw_logits, dead, lse_row, delta_row, g_tile, v_tile, scale):
+def _p_ds(raw_logits, dead, lse_row, delta_row, g_tile, v_tile, scale,
+          drop_mask=None, keep=1.0):
     """Recompute the probability tile and d(raw logits) for one (bq, bk)
     tile.  p = exp(logits - lse) reconstructs the forward softmax; ds =
     p * (dp - delta) * scale is the FA2 identity; masked keys get ds = 0,
     matching autodiff of the dense path's `where(dead, MASK_NEG, ...)`.
     lse_row / delta_row arrive as (bq, 1) column tiles (see the lse
-    layout note in `_online_softmax_step`)."""
+    layout note in `_online_softmax_step`).
+
+    With dropout, the forward emits out = sum_j attn_ij m_ij/keep v_j, so
+    dattn_ij = m_ij/keep (g_i . v_j) and the FA2 row correction delta_i =
+    sum_j attn_ij dattn_ij still equals g_i . out_i — the callers keep
+    computing it from (g, out) unchanged.  Returns (p_v, ds) where p_v is
+    the dropped/rescaled tile the dv contraction needs."""
     logits = jnp.where(dead, MASK_NEG, raw_logits * scale)
     p = jnp.exp(logits - lse_row)
     dp = _dot_t(g_tile, v_tile)
+    if drop_mask is not None:
+        dp = dp * (drop_mask * (1.0 / keep))
     ds = p * (dp - delta_row) * scale
     ds = jnp.where(dead, 0.0, ds)
-    return p, ds
+    p_v = p if drop_mask is None else p * (drop_mask * (1.0 / keep))
+    return p_v, ds
 
 
 def _xl_bwd_q_kernel(
     qc_ref, ga_ref, gb_ref, k_ref, v_ref, tab_ref, pad_ref,
-    lse_ref, delta_ref, g_ref,
+    lse_ref, delta_ref, g_ref, seed_ref,
     dqc_ref, dga_ref, dgb_ref, dqc_scr, dga_scr, dgb_scr,
-    *, scale, bq, bk, t_kv,
+    *, scale, bq, bk, t_kv, dropout_p,
 ):
     iq, ik = pl.program_id(2), pl.program_id(3)
 
@@ -335,9 +422,14 @@ def _xl_bwd_q_kernel(
     pb = _dot_t(gb_ref[0, 0], tab_ref[:])
     pos, sel_a, sel_b, j = _xl_pos_select(pa, pb, iq, ik, bq, bk)
     dead = (pad_ref[0, 0][None, :] > 0.5) | (j >= t_kv)
+    mask = (
+        _tile_dropout_mask(seed_ref, _fwd_tile_id(iq, ik), (bq, bk),
+                           dropout_p)
+        if dropout_p > 0.0 else None
+    )
     _, ds = _p_ds(
         s + pos, dead, lse_ref[0, 0], delta_ref[0, 0],
-        g_ref[0, 0], v_ref[0, 0], scale,
+        g_ref[0, 0], v_ref[0, 0], scale, mask, 1.0 - dropout_p,
     )
     dqc_scr[:] += _dot(ds, k_ref[0, 0])
     dga_scr[:] += _dot(jnp.where(sel_a, ds, 0.0), tab_ref[:])
@@ -352,9 +444,9 @@ def _xl_bwd_q_kernel(
 
 def _xl_bwd_kv_kernel(
     qc_ref, ga_ref, gb_ref, k_ref, v_ref, tab_ref, pad_ref,
-    lse_ref, delta_ref, g_ref,
+    lse_ref, delta_ref, g_ref, seed_ref,
     dk_ref, dv_ref, dtab_ref, dk_scr, dv_scr, dtab_scr,
-    *, scale, bq, bk, t_kv,
+    *, scale, bq, bk, t_kv, dropout_p,
 ):
     ik, ib, ih, iq = (
         pl.program_id(0), pl.program_id(1), pl.program_id(2),
@@ -378,9 +470,14 @@ def _xl_bwd_kv_kernel(
     pb = _dot_t(gb_ref[0, 0], tab_ref[:])
     pos, sel_a, sel_b, j = _xl_pos_select(pa, pb, iq, ik, bq, bk)
     dead = (pad_ref[0, 0][None, :] > 0.5) | (j >= t_kv)
+    mask = (
+        _tile_dropout_mask(seed_ref, _kv_tile_id(iq, ik), (bq, bk),
+                           dropout_p)
+        if dropout_p > 0.0 else None
+    )
     p, ds = _p_ds(
         s + pos, dead, lse_ref[0, 0], delta_ref[0, 0],
-        g_ref[0, 0], v_ref[0, 0], scale,
+        g_ref[0, 0], v_ref[0, 0], scale, mask, 1.0 - dropout_p,
     )
     dv_scr[:] += _dot_0(p, g_ref[0, 0])
     dk_scr[:] += _dot_0(ds, qc_ref[0, 0])
@@ -399,11 +496,11 @@ def _xl_bwd_kv_kernel(
 
 def _rel_bwd_q_kernel(
     qc_ref, g_pos_ref, k_ref, v_ref, tab_ref, pad_ref,
-    lse_ref, delta_ref, g_ref,
+    lse_ref, delta_ref, g_ref, seed_ref,
     dqc_ref, dgp_ref, dqc_scr, dgp_scr,
-    *, scale, bq, bk, t_kv,
+    *, scale, bq, bk, t_kv, dropout_p,
 ):
-    ik = pl.program_id(3)
+    iq, ik = pl.program_id(2), pl.program_id(3)
 
     @pl.when(ik == 0)
     def _init():
@@ -414,9 +511,14 @@ def _rel_bwd_q_kernel(
     pos = _dot_t(g_pos_ref[0, 0], tab_ref[:])
     j = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + ik * bk
     dead = (pad_ref[0, 0][None, :] > 0.5) | (j >= t_kv)
+    mask = (
+        _tile_dropout_mask(seed_ref, _fwd_tile_id(iq, ik), (bq, bk),
+                           dropout_p)
+        if dropout_p > 0.0 else None
+    )
     _, ds = _p_ds(
         s + pos, dead, lse_ref[0, 0], delta_ref[0, 0],
-        g_ref[0, 0], v_ref[0, 0], scale,
+        g_ref[0, 0], v_ref[0, 0], scale, mask, 1.0 - dropout_p,
     )
     dqc_scr[:] += _dot(ds, k_ref[0, 0])
     dgp_scr[:] += _dot(ds, tab_ref[:])
@@ -429,9 +531,9 @@ def _rel_bwd_q_kernel(
 
 def _rel_bwd_kv_kernel(
     qc_ref, g_pos_ref, k_ref, v_ref, tab_ref, pad_ref,
-    lse_ref, delta_ref, g_ref,
+    lse_ref, delta_ref, g_ref, seed_ref,
     dk_ref, dv_ref, dtab_ref, dk_scr, dv_scr, dtab_scr,
-    *, scale, bq, bk, t_kv,
+    *, scale, bq, bk, t_kv, dropout_p,
 ):
     ik, ib, ih, iq = (
         pl.program_id(0), pl.program_id(1), pl.program_id(2),
@@ -454,9 +556,14 @@ def _rel_bwd_kv_kernel(
     pos = _dot_t(g_pos_ref[0, 0], tab_ref[:])
     j = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + ik * bk
     dead = (pad_ref[0, 0][None, :] > 0.5) | (j >= t_kv)
+    mask = (
+        _tile_dropout_mask(seed_ref, _kv_tile_id(iq, ik), (bq, bk),
+                           dropout_p)
+        if dropout_p > 0.0 else None
+    )
     p, ds = _p_ds(
         s + pos, dead, lse_ref[0, 0], delta_ref[0, 0],
-        g_ref[0, 0], v_ref[0, 0], scale,
+        g_ref[0, 0], v_ref[0, 0], scale, mask, 1.0 - dropout_p,
     )
     dv_scr[:] += _dot_0(p, g_ref[0, 0])
     dk_scr[:] += _dot_0(ds, qc_ref[0, 0])
@@ -473,10 +580,10 @@ def _rel_bwd_kv_kernel(
 
 
 def _plain_bwd_q_kernel(
-    q_ref, k_ref, v_ref, pad_ref, lse_ref, delta_ref, g_ref,
-    dq_ref, dq_scr, *, scale, bq, bk, t_kv,
+    q_ref, k_ref, v_ref, pad_ref, lse_ref, delta_ref, g_ref, seed_ref,
+    dq_ref, dq_scr, *, scale, bq, bk, t_kv, dropout_p,
 ):
-    ik = pl.program_id(3)
+    iq, ik = pl.program_id(2), pl.program_id(3)
 
     @pl.when(ik == 0)
     def _init():
@@ -485,9 +592,14 @@ def _plain_bwd_q_kernel(
     s = _dot_t(q_ref[0, 0], k_ref[0, 0])
     j = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + ik * bk
     dead = (pad_ref[0, 0][None, :] > 0.5) | (j >= t_kv)
+    mask = (
+        _tile_dropout_mask(seed_ref, _fwd_tile_id(iq, ik), (bq, bk),
+                           dropout_p)
+        if dropout_p > 0.0 else None
+    )
     _, ds = _p_ds(
         s, dead, lse_ref[0, 0], delta_ref[0, 0],
-        g_ref[0, 0], v_ref[0, 0], scale,
+        g_ref[0, 0], v_ref[0, 0], scale, mask, 1.0 - dropout_p,
     )
     dq_scr[:] += _dot(ds, k_ref[0, 0])
 
@@ -497,8 +609,8 @@ def _plain_bwd_q_kernel(
 
 
 def _plain_bwd_kv_kernel(
-    q_ref, k_ref, v_ref, pad_ref, lse_ref, delta_ref, g_ref,
-    dk_ref, dv_ref, dk_scr, dv_scr, *, scale, bq, bk, t_kv,
+    q_ref, k_ref, v_ref, pad_ref, lse_ref, delta_ref, g_ref, seed_ref,
+    dk_ref, dv_ref, dk_scr, dv_scr, *, scale, bq, bk, t_kv, dropout_p,
 ):
     ik, iq = pl.program_id(0), pl.program_id(3)
     nq = pl.num_programs(3)
@@ -511,9 +623,14 @@ def _plain_bwd_kv_kernel(
     s = _dot_t(q_ref[0, 0], k_ref[0, 0])
     j = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + ik * bk
     dead = (pad_ref[0, 0][None, :] > 0.5) | (j >= t_kv)
+    mask = (
+        _tile_dropout_mask(seed_ref, _kv_tile_id(iq, ik), (bq, bk),
+                           dropout_p)
+        if dropout_p > 0.0 else None
+    )
     p, ds = _p_ds(
         s, dead, lse_ref[0, 0], delta_ref[0, 0],
-        g_ref[0, 0], v_ref[0, 0], scale,
+        g_ref[0, 0], v_ref[0, 0], scale, mask, 1.0 - dropout_p,
     )
     dv_scr[:] += _dot_0(p, g_ref[0, 0])
     dk_scr[:] += _dot_0(ds, q_ref[0, 0])
@@ -525,7 +642,7 @@ def _plain_bwd_kv_kernel(
 
 
 def _call_bwd_q(kernel_fn, q_streams, k_streams, tables, pad3, lse, delta,
-                g, scale, out_dims, bq, bk):
+                g, seed, scale, dropout_p, out_dims, bq, bk):
     """bwd-q pallas_call: grid (B, H, nq, nk), key axis innermost; one
     output per entry of ``out_dims``, each blocked like a query stream,
     emitted after the key sweep.  Kernel ref order:
@@ -541,15 +658,17 @@ def _call_bwd_q(kernel_fn, q_streams, k_streams, tables, pad3, lse, delta,
     tab_spec = lambda e: pl.BlockSpec((bk, e), lambda b, h, q, kk: (kk, 0))
     pad_spec = pl.BlockSpec((1, 1, bk), lambda b, h, q, kk: (b, 0, kk))
     row_spec = pl.BlockSpec((1, 1, bq, 1), lambda b, h, q, kk: (b, h, q, 0))
-    args = [*q_streams, *k_streams, *tables, pad3, lse, delta, g]
+    args = [*q_streams, *k_streams, *tables, pad3, lse, delta, g, seed]
     in_specs = (
         [q_spec(x.shape[-1]) for x in q_streams]
         + [k_spec(x.shape[-1]) for x in k_streams]
         + [tab_spec(t.shape[-1]) for t in tables]
-        + [pad_spec, row_spec, row_spec, q_spec(D)]
+        + [pad_spec, row_spec, row_spec, q_spec(D),
+           pl.BlockSpec(memory_space=pltpu.SMEM)]
     )
     kernel = functools.partial(
-        kernel_fn, scale=float(scale), bq=bq, bk=bk, t_kv=T
+        kernel_fn, scale=float(scale), bq=bq, bk=bk, t_kv=T,
+        dropout_p=float(dropout_p),
     )
     out = pl.pallas_call(
         kernel,
@@ -566,7 +685,7 @@ def _call_bwd_q(kernel_fn, q_streams, k_streams, tables, pad3, lse, delta,
 
 
 def _call_bwd_kv(kernel_fn, q_streams, k_streams, tables, pad3, lse, delta,
-                 g, scale, tab_dim, bq, bk):
+                 g, seed, scale, dropout_p, tab_dim, bq, bk):
     """bwd-kv pallas_call: grid (nk, B, H, nq) — key axis OUTERMOST so the
     shared table-grad accumulator survives the whole (B, H, nq) inner
     sweep.  Outputs: dk (B,H,T,D), dv (B,H,T,D) and, if ``tab_dim``,
@@ -582,12 +701,13 @@ def _call_bwd_kv(kernel_fn, q_streams, k_streams, tables, pad3, lse, delta,
     tab_spec = lambda e: pl.BlockSpec((bk, e), lambda kk, b, h, q: (kk, 0))
     pad_spec = pl.BlockSpec((1, 1, bk), lambda kk, b, h, q: (b, 0, kk))
     row_spec = pl.BlockSpec((1, 1, bq, 1), lambda kk, b, h, q: (b, h, q, 0))
-    args = [*q_streams, *k_streams, *tables, pad3, lse, delta, g]
+    args = [*q_streams, *k_streams, *tables, pad3, lse, delta, g, seed]
     in_specs = (
         [q_spec(x.shape[-1]) for x in q_streams]
         + [k_spec(x.shape[-1]) for x in k_streams]
         + [tab_spec(t.shape[-1]) for t in tables]
-        + [pad_spec, row_spec, row_spec, q_spec(D)]
+        + [pad_spec, row_spec, row_spec, q_spec(D),
+           pl.BlockSpec(memory_space=pltpu.SMEM)]
     )
     out_shape = [
         jax.ShapeDtypeStruct((B, H, T, D), jnp.float32),
@@ -603,7 +723,8 @@ def _call_bwd_kv(kernel_fn, q_streams, k_streams, tables, pad3, lse, delta,
         out_specs.append(tab_spec(tab_dim))
         scratch.append(pltpu.VMEM((bk, tab_dim), jnp.float32))
     kernel = functools.partial(
-        kernel_fn, scale=float(scale), bq=bq, bk=bk, t_kv=T
+        kernel_fn, scale=float(scale), bq=bq, bk=bk, t_kv=T,
+        dropout_p=float(dropout_p),
     )
     return pl.pallas_call(
         kernel,
@@ -620,18 +741,33 @@ def _call_bwd_kv(kernel_fn, q_streams, k_streams, tables, pad3, lse, delta,
 # --------------------------------------------------------------------------
 
 
-def _xl_pallas(qc, k, v, gA, gB, table, pad, *, scale):
+def _xl_pallas(qc, k, v, gA, gB, table, pad, seed, *, scale, dropout_p):
     # _call_flash arg order: qc, k, v, gA, gB, tab, pad == _xl_kernel's
-    return _call_flash(_xl_kernel, [qc, gA, gB], [k], v, [table], pad, scale)
-
-
-def _xl_forward(qc, k, v, gA, gB, table, pad, scale):
-    return _dispatch(
-        _xl_pallas, _xl_dense, (qc, k, v, gA, gB, table, pad), scale
+    return _call_flash(
+        _xl_kernel, [qc, gA, gB], [k], v, [table], pad, seed, scale,
+        dropout_p,
     )
 
 
-def _xl_dense(qc, k, v, gA, gB, table, pad, *, scale):
+def _xl_forward(qc, k, v, gA, gB, table, pad, seed, scale, dropout_p):
+    return _dispatch(
+        _xl_pallas, _xl_dense, (qc, k, v, gA, gB, table, pad, seed),
+        scale, dropout_p,
+    )
+
+
+def _dense_dropout(attn, seed, dropout_p):
+    """Dense-path attention-weight dropout, deterministic in ``seed`` so
+    the fallback VJP regenerates the forward's mask exactly (flax
+    nn.Dropout semantics: iid Bernoulli, kept weights scaled 1/keep)."""
+    keep = 1.0 - dropout_p
+    mask = jax.random.bernoulli(
+        jax.random.PRNGKey(seed[0].astype(jnp.uint32)), keep, attn.shape
+    )
+    return jnp.where(mask, attn / keep, 0.0)
+
+
+def _xl_dense(qc, k, v, gA, gB, table, pad, seed, *, scale, dropout_p=0.0):
     """Dense factorized oracle in head-major layout (non-TPU fallback;
     mirrors `ops/xl_attention.py` math).  Returns (context, lse)."""
     T = qc.shape[2]
@@ -645,52 +781,61 @@ def _xl_dense(qc, k, v, gA, gB, table, pad, *, scale):
     logits = jnp.where(pad[:, None, None, :] > 0.5, MASK_NEG, logits)
     attn = jax.nn.softmax(logits, axis=-1)
     lse = jax.scipy.special.logsumexp(logits, axis=-1)[..., None]
+    if dropout_p > 0.0:
+        attn = _dense_dropout(attn, seed, dropout_p)
     return jnp.einsum("bhqk,bhkd->bhqd", attn, v), lse
 
 
-def _xl_bwd_pallas(qc, k, v, gA, gB, table, pad, lse, delta, g, *, scale):
+def _xl_bwd_pallas(qc, k, v, gA, gB, table, pad, lse, delta, g, seed,
+                   *, scale, dropout_p):
     B, H, T, D = qc.shape
     E = table.shape[-1]
     bq = bk = _block_size(T)
     pad3 = pad.reshape(B, 1, T)
     dqc, dga, dgb = _call_bwd_q(
         _xl_bwd_q_kernel, [qc, gA, gB], [k, v], [table], pad3, lse, delta,
-        g, scale, [D, E, E], bq, bk,
+        g, seed, scale, dropout_p, [D, E, E], bq, bk,
     )
     dk, dv, dtab = _call_bwd_kv(
         _xl_bwd_kv_kernel, [qc, gA, gB], [k, v], [table], pad3, lse, delta,
-        g, scale, E, bq, bk,
+        g, seed, scale, dropout_p, E, bq, bk,
     )
     return dqc, dk, dv, dga, dgb, dtab
 
 
-def _xl_bwd_dense(qc, k, v, gA, gB, table, pad, lse, delta, g, *, scale):
+def _xl_bwd_dense(qc, k, v, gA, gB, table, pad, lse, delta, g, seed,
+                  *, scale, dropout_p=0.0):
     _, vjp = jax.vjp(
-        lambda *a: _xl_dense(*a, pad, scale=scale)[0], qc, k, v, gA, gB,
-        table,
+        lambda *a: _xl_dense(
+            *a, pad, seed, scale=scale, dropout_p=dropout_p
+        )[0],
+        qc, k, v, gA, gB, table,
     )
     return vjp(g)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
-def _xl_op(qc, k, v, gA, gB, table, pad, scale):
-    return _xl_forward(qc, k, v, gA, gB, table, pad, scale)[0]
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def _xl_op(qc, k, v, gA, gB, table, pad, seed, scale, dropout_p):
+    return _xl_forward(qc, k, v, gA, gB, table, pad, seed, scale,
+                       dropout_p)[0]
 
 
-def _xl_fwd(qc, k, v, gA, gB, table, pad, scale):
-    out, lse = _xl_forward(qc, k, v, gA, gB, table, pad, scale)
-    return out, (qc, k, v, gA, gB, table, pad, out, lse)
+def _xl_fwd(qc, k, v, gA, gB, table, pad, seed, scale, dropout_p):
+    out, lse = _xl_forward(qc, k, v, gA, gB, table, pad, seed, scale,
+                           dropout_p)
+    return out, (qc, k, v, gA, gB, table, pad, seed, out, lse)
 
 
-def _xl_bwd(scale, res, g):
-    qc, k, v, gA, gB, table, pad, out, lse = res
+def _xl_bwd(scale, dropout_p, res, g):
+    qc, k, v, gA, gB, table, pad, seed, out, lse = res
     g = g.astype(jnp.float32)
     delta = jnp.sum(g * out, axis=-1, keepdims=True)
     grads = _dispatch(
         _xl_bwd_pallas, _xl_bwd_dense,
-        (qc, k, v, gA, gB, table, pad, lse, delta, g), scale,
+        (qc, k, v, gA, gB, table, pad, lse, delta, g, seed), scale,
+        dropout_p,
     )
-    return (*grads, jnp.zeros_like(pad))
+    return (*grads, jnp.zeros_like(pad), _seed_cotangent(seed))
 
 
 _xl_op.defvjp(_xl_fwd, _xl_bwd)
@@ -705,12 +850,16 @@ def flash_xl_attention(
     table: jnp.ndarray,
     scale: float,
     pad_mask: Optional[jnp.ndarray] = None,
+    dropout_p: float = 0.0,
+    dropout_seed: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Entry point used by `ops/xl_attention.py::xl_attention`.
 
     Takes the feature-last (B, T, H, D)/(B, T, H, E) streams that module
     produces, runs the head-major fused kernel, and returns the
-    (B, T, H*D) context."""
+    (B, T, H*D) context.  ``dropout_p`` > 0 applies attention-weight
+    dropout inside the kernel (mask regenerated from ``dropout_seed``, a
+    (1,) int32, in forward and backward — never materialised in HBM)."""
     B, T, H, D = qc.shape
     hm = lambda x: jnp.transpose(x, (0, 2, 1, 3)).astype(jnp.float32)
     pad = (
@@ -718,9 +867,11 @@ def flash_xl_attention(
         if pad_mask is not None
         else jnp.zeros((B, T), jnp.float32)
     )
+    seed = _zero_seed() if dropout_seed is None else dropout_seed
     ctx = _xl_op(
         hm(qc), hm(k), hm(v), hm(gA), hm(gB),
-        table.astype(jnp.float32), pad, float(scale),
+        table.astype(jnp.float32), pad, seed, float(scale),
+        float(dropout_p),
     )
     return jnp.transpose(ctx, (0, 2, 1, 3)).reshape(B, T, H * D).astype(qc.dtype)
 
@@ -730,68 +881,79 @@ def flash_xl_attention(
 # --------------------------------------------------------------------------
 
 
-def _rel_pallas(qc, k, v, g, table, pad, *, scale):
-    return _call_flash(_rel_kernel, [qc, g], [k], v, [table], pad, scale)
-
-
-def _rel_forward(qc, k, v, g, table, pad, scale):
-    return _dispatch(
-        _rel_pallas, _rel_dense, (qc, k, v, g, table, pad), scale
+def _rel_pallas(qc, k, v, g, table, pad, seed, *, scale, dropout_p):
+    return _call_flash(
+        _rel_kernel, [qc, g], [k], v, [table], pad, seed, scale, dropout_p
     )
 
 
-def _rel_dense(qc, k, v, g, table, pad, *, scale):
+def _rel_forward(qc, k, v, g, table, pad, seed, scale, dropout_p):
+    return _dispatch(
+        _rel_pallas, _rel_dense, (qc, k, v, g, table, pad, seed), scale,
+        dropout_p,
+    )
+
+
+def _rel_dense(qc, k, v, g, table, pad, seed, *, scale, dropout_p=0.0):
     content = jnp.einsum("bhqd,bhkd->bhqk", qc, k)
     pos = jnp.einsum("bhqe,ke->bhqk", g, table)
     logits = (content + pos) * scale
     logits = jnp.where(pad[:, None, None, :] > 0.5, MASK_NEG, logits)
     attn = jax.nn.softmax(logits, axis=-1)
     lse = jax.scipy.special.logsumexp(logits, axis=-1)[..., None]
+    if dropout_p > 0.0:
+        attn = _dense_dropout(attn, seed, dropout_p)
     return jnp.einsum("bhqk,bhkd->bhqd", attn, v), lse
 
 
-def _rel_bwd_pallas(qc, k, v, gp, table, pad, lse, delta, g, *, scale):
+def _rel_bwd_pallas(qc, k, v, gp, table, pad, lse, delta, g, seed,
+                    *, scale, dropout_p):
     B, H, T, D = qc.shape
     E = table.shape[-1]
     bq = bk = _block_size(T)
     pad3 = pad.reshape(B, 1, T)
     dqc, dgp = _call_bwd_q(
         _rel_bwd_q_kernel, [qc, gp], [k, v], [table], pad3, lse, delta,
-        g, scale, [D, E], bq, bk,
+        g, seed, scale, dropout_p, [D, E], bq, bk,
     )
     dk, dv, dtab = _call_bwd_kv(
         _rel_bwd_kv_kernel, [qc, gp], [k, v], [table], pad3, lse, delta,
-        g, scale, E, bq, bk,
+        g, seed, scale, dropout_p, E, bq, bk,
     )
     return dqc, dk, dv, dgp, dtab
 
 
-def _rel_bwd_dense(qc, k, v, gp, table, pad, lse, delta, g, *, scale):
+def _rel_bwd_dense(qc, k, v, gp, table, pad, lse, delta, g, seed,
+                   *, scale, dropout_p=0.0):
     _, vjp = jax.vjp(
-        lambda *a: _rel_dense(*a, pad, scale=scale)[0], qc, k, v, gp, table
+        lambda *a: _rel_dense(
+            *a, pad, seed, scale=scale, dropout_p=dropout_p
+        )[0],
+        qc, k, v, gp, table,
     )
     return vjp(g)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
-def _rel_op(qc, k, v, g, table, pad, scale):
-    return _rel_forward(qc, k, v, g, table, pad, scale)[0]
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def _rel_op(qc, k, v, g, table, pad, seed, scale, dropout_p):
+    return _rel_forward(qc, k, v, g, table, pad, seed, scale, dropout_p)[0]
 
 
-def _rel_fwd(qc, k, v, g, table, pad, scale):
-    out, lse = _rel_forward(qc, k, v, g, table, pad, scale)
-    return out, (qc, k, v, g, table, pad, out, lse)
+def _rel_fwd(qc, k, v, g, table, pad, seed, scale, dropout_p):
+    out, lse = _rel_forward(qc, k, v, g, table, pad, seed, scale, dropout_p)
+    return out, (qc, k, v, g, table, pad, seed, out, lse)
 
 
-def _rel_bwd(scale, res, g_out):
-    qc, k, v, gp, table, pad, out, lse = res
+def _rel_bwd(scale, dropout_p, res, g_out):
+    qc, k, v, gp, table, pad, seed, out, lse = res
     g_out = g_out.astype(jnp.float32)
     delta = jnp.sum(g_out * out, axis=-1, keepdims=True)
     grads = _dispatch(
         _rel_bwd_pallas, _rel_bwd_dense,
-        (qc, k, v, gp, table, pad, lse, delta, g_out), scale,
+        (qc, k, v, gp, table, pad, lse, delta, g_out, seed), scale,
+        dropout_p,
     )
-    return (*grads, jnp.zeros_like(pad))
+    return (*grads, jnp.zeros_like(pad), _seed_cotangent(seed))
 
 
 _rel_op.defvjp(_rel_fwd, _rel_bwd)
@@ -805,6 +967,8 @@ def flash_rel_attention(
     table: jnp.ndarray,
     scale: float,
     pad_mask: Optional[jnp.ndarray] = None,
+    dropout_p: float = 0.0,
+    dropout_seed: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """espnet 'latest' rel-pos flash attention (feature-last API).
 
@@ -818,9 +982,11 @@ def flash_rel_attention(
         if pad_mask is not None
         else jnp.zeros((B, T), jnp.float32)
     )
+    seed = _zero_seed() if dropout_seed is None else dropout_seed
     ctx = _rel_op(
         hm(qc), hm(k), hm(v), hm(g),
-        table.astype(jnp.float32), pad, float(scale),
+        table.astype(jnp.float32), pad, seed, float(scale),
+        float(dropout_p),
     )
     return jnp.transpose(ctx, (0, 2, 1, 3)).reshape(B, T, H * D).astype(qc.dtype)
 
@@ -830,61 +996,74 @@ def flash_rel_attention(
 # --------------------------------------------------------------------------
 
 
-def _plain_pallas(q, k, v, pad, *, scale):
-    return _call_flash(_plain_kernel, [q], [k], v, [], pad, scale)
+def _plain_pallas(q, k, v, pad, seed, *, scale, dropout_p):
+    return _call_flash(
+        _plain_kernel, [q], [k], v, [], pad, seed, scale, dropout_p
+    )
 
 
-def _plain_forward(q, k, v, pad, scale):
-    return _dispatch(_plain_pallas, _plain_dense, (q, k, v, pad), scale)
+def _plain_forward(q, k, v, pad, seed, scale, dropout_p):
+    return _dispatch(
+        _plain_pallas, _plain_dense, (q, k, v, pad, seed), scale, dropout_p
+    )
 
 
-def _plain_dense(q, k, v, pad, *, scale):
+def _plain_dense(q, k, v, pad, seed, *, scale, dropout_p=0.0):
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
     logits = jnp.where(pad[:, None, None, :] > 0.5, MASK_NEG, logits)
     attn = jax.nn.softmax(logits, axis=-1)
     lse = jax.scipy.special.logsumexp(logits, axis=-1)[..., None]
+    if dropout_p > 0.0:
+        attn = _dense_dropout(attn, seed, dropout_p)
     return jnp.einsum("bhqk,bhkd->bhqd", attn, v), lse
 
 
-def _plain_bwd_pallas(q, k, v, pad, lse, delta, g, *, scale):
+def _plain_bwd_pallas(q, k, v, pad, lse, delta, g, seed, *, scale,
+                      dropout_p):
     B, H, T, D = q.shape
     bq = bk = _block_size(T)
     pad3 = pad.reshape(B, 1, T)
     (dq,) = _call_bwd_q(
         _plain_bwd_q_kernel, [q], [k, v], [], pad3, lse, delta,
-        g, scale, [D], bq, bk,
+        g, seed, scale, dropout_p, [D], bq, bk,
     )
     dk, dv = _call_bwd_kv(
         _plain_bwd_kv_kernel, [q], [k, v], [], pad3, lse, delta,
-        g, scale, 0, bq, bk,
+        g, seed, scale, dropout_p, 0, bq, bk,
     )
     return dq, dk, dv
 
 
-def _plain_bwd_dense(q, k, v, pad, lse, delta, g, *, scale):
-    _, vjp = jax.vjp(lambda *a: _plain_dense(*a, pad, scale=scale)[0], q, k, v)
+def _plain_bwd_dense(q, k, v, pad, lse, delta, g, seed, *, scale,
+                     dropout_p=0.0):
+    _, vjp = jax.vjp(
+        lambda *a: _plain_dense(
+            *a, pad, seed, scale=scale, dropout_p=dropout_p
+        )[0],
+        q, k, v,
+    )
     return vjp(g)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def _plain_op(q, k, v, pad, scale):
-    return _plain_forward(q, k, v, pad, scale)[0]
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _plain_op(q, k, v, pad, seed, scale, dropout_p):
+    return _plain_forward(q, k, v, pad, seed, scale, dropout_p)[0]
 
 
-def _plain_fwd(q, k, v, pad, scale):
-    out, lse = _plain_forward(q, k, v, pad, scale)
-    return out, (q, k, v, pad, out, lse)
+def _plain_fwd(q, k, v, pad, seed, scale, dropout_p):
+    out, lse = _plain_forward(q, k, v, pad, seed, scale, dropout_p)
+    return out, (q, k, v, pad, seed, out, lse)
 
 
-def _plain_bwd(scale, res, g_out):
-    q, k, v, pad, out, lse = res
+def _plain_bwd(scale, dropout_p, res, g_out):
+    q, k, v, pad, seed, out, lse = res
     g_out = g_out.astype(jnp.float32)
     delta = jnp.sum(g_out * out, axis=-1, keepdims=True)
     grads = _dispatch(
         _plain_bwd_pallas, _plain_bwd_dense,
-        (q, k, v, pad, lse, delta, g_out), scale,
+        (q, k, v, pad, lse, delta, g_out, seed), scale, dropout_p,
     )
-    return (*grads, jnp.zeros_like(pad))
+    return (*grads, jnp.zeros_like(pad), _seed_cotangent(seed))
 
 
 _plain_op.defvjp(_plain_fwd, _plain_bwd)
@@ -896,6 +1075,8 @@ def flash_attention(
     v: jnp.ndarray,
     scale: float,
     pad_mask: Optional[jnp.ndarray] = None,
+    dropout_p: float = 0.0,
+    dropout_seed: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Plain scaled-dot MHA flash attention (feature-last API):
     q/k/v (B, T, H, D), pad_mask (B, T) True at padding keys; returns
@@ -907,5 +1088,7 @@ def flash_attention(
         if pad_mask is not None
         else jnp.zeros((B, T), jnp.float32)
     )
-    ctx = _plain_op(hm(q), hm(k), hm(v), pad, float(scale))
+    seed = _zero_seed() if dropout_seed is None else dropout_seed
+    ctx = _plain_op(hm(q), hm(k), hm(v), pad, seed, float(scale),
+                    float(dropout_p))
     return jnp.transpose(ctx, (0, 2, 1, 3)).reshape(B, T, H * D).astype(q.dtype)

@@ -166,6 +166,8 @@ def xl_attention(
     scale: float,
     pad_mask: Optional[jnp.ndarray] = None,
     implementation: str = "dense",
+    dropout_p: float = 0.0,
+    dropout_rng: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Full factorized XL attention: (B, T, H, D) -> (B, T, H*D) context.
 
@@ -184,8 +186,15 @@ def xl_attention(
     if implementation == "flash":
         from viet_tts_tpu.ops.pallas_attention import flash_xl_attention
 
+        seed = None
+        if dropout_p > 0.0 and dropout_rng is not None:
+            seed = jax.random.randint(
+                dropout_rng, (1,), 0, jnp.iinfo(jnp.int32).max,
+                dtype=jnp.int32,
+            )
         return flash_xl_attention(
-            qc, k, v, gA, gB, table, scale, pad_mask=pad_mask
+            qc, k, v, gA, gB, table, scale, pad_mask=pad_mask,
+            dropout_p=dropout_p, dropout_seed=seed,
         )
     scores = xl_attention_scores(qc, k, gA, gB, table, scale)
     if pad_mask is not None:
