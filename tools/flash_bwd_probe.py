@@ -91,8 +91,8 @@ def dropout_probe():
     }), flush=True)
 
 
-def main():
-    B, H, T, D, E = 4, 4, 256, 48, 384
+def main(T=256):
+    B, H, D, E = 4, 4, 48, 384
     mk = lambda s, *shape: jax.random.normal(
         jax.random.PRNGKey(s), shape, jnp.float32
     )
@@ -152,8 +152,13 @@ def main():
 
 
 if __name__ == "__main__":
+    t = 256
+    for a in sys.argv[1:]:
+        if a.isdigit():
+            t = int(a)
     if "--dropout" in sys.argv:
         dropout_probe()
     else:
-        main()
-        dropout_probe()
+        main(t)
+        if "--no-dropout" not in sys.argv:
+            dropout_probe()

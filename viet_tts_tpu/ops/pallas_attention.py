@@ -92,6 +92,20 @@ def _block_size(t: int, preferred: int = 128) -> int:
     return t
 
 
+def _padded_time(t: int) -> int:
+    """Time length the kernels actually run at: the next multiple of 32.
+
+    Without this, an awkward T picks a tiny block (T=504 = 8x63 -> block
+    8), and the grid's q/k/table re-fetches explode — captured r5: the
+    B=8 flash train step moved 57.7 GB/step vs the shift path's 27.9
+    because every 8-row q block re-read its (8, 816) streams 63 times.
+    The public wrappers pad the streams/table with zeros, extend pad_mask
+    with ones (dead keys), and slice the context back; autodiff of the
+    outer pad/slice handles the gradients, and the kernels' `j >= t_kv`
+    mask plus the pad mask keep the tail inert."""
+    return ((t + 31) // 32) * 32
+
+
 def _interpret_forced() -> bool:
     """True while `pltpu.force_tpu_interpret_mode()` is active: route the
     platform dispatch to the Pallas branch so CPU tests run the kernels
@@ -867,13 +881,20 @@ def flash_xl_attention(
         if pad_mask is not None
         else jnp.zeros((B, T), jnp.float32)
     )
+    tp = _padded_time(T)
+    table = table.astype(jnp.float32)
+    if tp != T:
+        ext = lambda x: jnp.pad(x, ((0, 0), (0, tp - T), (0, 0), (0, 0)))
+        qc, k, v, gA, gB = map(ext, (qc, k, v, gA, gB))
+        table = jnp.pad(table, ((0, tp - T), (0, 0)))
+        pad = jnp.pad(pad, ((0, 0), (0, tp - T)), constant_values=1.0)
     seed = _zero_seed() if dropout_seed is None else dropout_seed
     ctx = _xl_op(
         hm(qc), hm(k), hm(v), hm(gA), hm(gB),
-        table.astype(jnp.float32), pad, seed, float(scale),
-        float(dropout_p),
+        table, pad, seed, float(scale), float(dropout_p),
     )
-    return jnp.transpose(ctx, (0, 2, 1, 3)).reshape(B, T, H * D).astype(qc.dtype)
+    ctx = jnp.transpose(ctx, (0, 2, 1, 3))[:, :T]
+    return ctx.reshape(B, T, H * D).astype(qc.dtype)
 
 
 # --------------------------------------------------------------------------
@@ -982,13 +1003,20 @@ def flash_rel_attention(
         if pad_mask is not None
         else jnp.zeros((B, T), jnp.float32)
     )
+    tp = _padded_time(T)
+    table = table.astype(jnp.float32)
+    if tp != T:
+        ext = lambda x: jnp.pad(x, ((0, 0), (0, tp - T), (0, 0), (0, 0)))
+        qc, k, v, g = map(ext, (qc, k, v, g))
+        table = jnp.pad(table, ((0, tp - T), (0, 0)))
+        pad = jnp.pad(pad, ((0, 0), (0, tp - T)), constant_values=1.0)
     seed = _zero_seed() if dropout_seed is None else dropout_seed
     ctx = _rel_op(
         hm(qc), hm(k), hm(v), hm(g),
-        table.astype(jnp.float32), pad, seed, float(scale),
-        float(dropout_p),
+        table, pad, seed, float(scale), float(dropout_p),
     )
-    return jnp.transpose(ctx, (0, 2, 1, 3)).reshape(B, T, H * D).astype(qc.dtype)
+    ctx = jnp.transpose(ctx, (0, 2, 1, 3))[:, :T]
+    return ctx.reshape(B, T, H * D).astype(qc.dtype)
 
 
 # --------------------------------------------------------------------------
@@ -1088,7 +1116,13 @@ def flash_attention(
         if pad_mask is not None
         else jnp.zeros((B, T), jnp.float32)
     )
+    tp = _padded_time(T)
+    if tp != T:
+        ext = lambda x: jnp.pad(x, ((0, 0), (0, tp - T), (0, 0), (0, 0)))
+        q, k, v = map(ext, (q, k, v))
+        pad = jnp.pad(pad, ((0, 0), (0, tp - T)), constant_values=1.0)
     seed = _zero_seed() if dropout_seed is None else dropout_seed
     ctx = _plain_op(hm(q), hm(k), hm(v), pad, seed, float(scale),
                     float(dropout_p))
-    return jnp.transpose(ctx, (0, 2, 1, 3)).reshape(B, T, H * D).astype(q.dtype)
+    ctx = jnp.transpose(ctx, (0, 2, 1, 3))[:, :T]
+    return ctx.reshape(B, T, H * D).astype(q.dtype)
