@@ -56,6 +56,44 @@ def test_flash_matches_dense(T, masked):
     )
 
 
+def test_flash_bf16_streams(T=48):
+    """bf16 inputs stay bf16 through the kernel's MXU contractions (r5:
+    under the mixed-precision policy the wrappers used to force-upcast to
+    fp32, making flash pay fp32 matmul passes the dense path didn't).
+    Values must track the fp32 dense oracle within bf16 rounding, and the
+    custom VJP must return cotangents in the primal (bf16) dtype."""
+    q, k, v, u, v_b, pk, table, scale = _inputs(T, seed=4)
+    want = xl_attention(q, k, v, u, v_b, pk, table, scale)
+    bf = lambda x: x.astype(jnp.bfloat16)
+    with pltpu.force_tpu_interpret_mode():
+        got = xl_attention(
+            bf(q), bf(k), bf(v), bf(u), bf(v_b), bf(pk), table, scale,
+            implementation="flash",
+        )
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want), rtol=0.1, atol=0.06
+    )
+
+    def loss(q, k, v):
+        out = xl_attention(q, k, v, bf(u), bf(v_b), bf(pk), table, scale,
+                           implementation="flash")
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        gq, gk, gv = jax.grad(loss, argnums=(0, 1, 2))(bf(q), bf(k), bf(v))
+    gd = jax.grad(
+        lambda q, k, v: jnp.sum(
+            xl_attention(q, k, v, u, v_b, pk, table, scale) ** 2),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for g, d, name in zip((gq, gk, gv), gd, "q k v".split()):
+        assert g.dtype == jnp.bfloat16, name
+        denom = np.abs(np.asarray(d)).mean() + 1e-6
+        rel = np.abs(np.asarray(g, np.float32) - np.asarray(d)).mean()
+        assert rel / denom < 0.12, (name, rel / denom)
+
+
 @pytest.mark.parametrize("T", [32, 48])
 def test_flash_grads_match_dense(T):
     """T=32 is a single (bq, bk) tile; T=48 forces 3x3 16-wide blocks so

@@ -72,6 +72,22 @@ from jax.experimental.pallas import tpu as pltpu
 MASK_NEG = -1.0e9
 _LANES = 128
 
+# Preferred (bq, bk) tile edge.  The grid has (T/bq)*(T/bk) steps per
+# (b, h): at the FS2 training shape (B=64, H=8, T=512, D=32) a 128 tile
+# means 8192 grid steps per kernel launch and ~300k per train step across
+# 12 layers x (fwd + bwd_q + bwd_kv) — per-step sequencing overhead, not
+# bandwidth, dominated the r5 capture (flash 85 vs dense 193 samples/s).
+# Larger tiles cut grid steps quadratically while every buffer still fits
+# VMEM comfortably (scores tile 512x512 fp32 = 1 MB).  Overridable for
+# A/B sweeps via env VIET_TTS_FLASH_BLOCK (read at trace time).
+_PREFERRED_BLOCK = 256
+
+
+def _preferred_block() -> int:
+    import os
+
+    return int(os.environ.get("VIET_TTS_FLASH_BLOCK", _PREFERRED_BLOCK))
+
 
 def _zero_seed():
     return jnp.zeros((1,), jnp.int32)
@@ -82,12 +98,15 @@ def _seed_cotangent(seed):
     return np.zeros(seed.shape, dtype=jax.dtypes.float0)
 
 
-def _block_size(t: int, preferred: int = 128) -> int:
+def _block_size(t: int, preferred: Optional[int] = None) -> int:
     """Largest divisor of ``t`` that is <= preferred and a multiple of 8
     when possible (fp32 sublane tile).  Bucketed shapes in this repo are
-    multiples of 32, so this normally returns 32..128."""
-    for b in (preferred, 64, 32, 16, 8):
-        if t % b == 0:
+    multiples of 32 (see ``_padded_time``), so this normally returns
+    32.._preferred_block()."""
+    if preferred is None:
+        preferred = _preferred_block()
+    for b in (preferred, 512, 256, 128, 64, 32, 16, 8):
+        if b <= preferred and t % b == 0:
             return b
     return t
 
@@ -141,6 +160,16 @@ def _dispatch(pallas_fn, dense_fn, operands, scale, dropout_p=0.0):
         tpu=functools.partial(pallas_fn, scale=scale, dropout_p=dropout_p),
         default=functools.partial(dense_fn, scale=scale, dropout_p=dropout_p),
     )
+
+
+def _mx(x, like):
+    """Cast an fp32 VMEM intermediate to ``like``'s dtype before an MXU
+    contraction against it.  With bf16 streams (mixed-precision training
+    casts params/activations to bf16 before the wrappers, r5) this keeps
+    every matmul at native MXU rate with fp32 accumulation — the same
+    posture the dense/shift paths get from XLA under the bf16 policy —
+    and it is a no-op for fp32 streams."""
+    return x.astype(like.dtype)
 
 
 def _dot_t(a, b):
@@ -228,7 +257,7 @@ def _online_softmax_step(
     # softmax, so dropout never touches the normalizer)
     l_new = l_scr[:, :1] * corr + jnp.sum(p, axis=-1, keepdims=True)
     p_v = p if drop_mask is None else p * (drop_mask * (1.0 / keep))
-    pv = _dot(p_v, v_tile)
+    pv = _dot(_mx(p_v, v_tile), v_tile)
     acc_scr[:] = acc_scr[:] * corr + pv
     m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
     l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
@@ -445,9 +474,9 @@ def _xl_bwd_q_kernel(
         s + pos, dead, lse_ref[0, 0], delta_ref[0, 0],
         g_ref[0, 0], v_ref[0, 0], scale, mask, 1.0 - dropout_p,
     )
-    dqc_scr[:] += _dot(ds, k_ref[0, 0])
-    dga_scr[:] += _dot(jnp.where(sel_a, ds, 0.0), tab_ref[:])
-    dgb_scr[:] += _dot(jnp.where(sel_b, ds, 0.0), tab_ref[:])
+    dqc_scr[:] += _dot(_mx(ds, k_ref), k_ref[0, 0])
+    dga_scr[:] += _dot(_mx(jnp.where(sel_a, ds, 0.0), tab_ref), tab_ref[:])
+    dgb_scr[:] += _dot(_mx(jnp.where(sel_b, ds, 0.0), tab_ref), tab_ref[:])
 
     @pl.when(ik == pl.num_programs(3) - 1)
     def _emit():
@@ -493,10 +522,12 @@ def _xl_bwd_kv_kernel(
         s + pos, dead, lse_ref[0, 0], delta_ref[0, 0],
         g_ref[0, 0], v_ref[0, 0], scale, mask, 1.0 - dropout_p,
     )
-    dv_scr[:] += _dot_0(p, g_ref[0, 0])
-    dk_scr[:] += _dot_0(ds, qc_ref[0, 0])
-    dtab_scr[:] += _dot_0(jnp.where(sel_a, ds, 0.0), ga_ref[0, 0])
-    dtab_scr[:] += _dot_0(jnp.where(sel_b, ds, 0.0), gb_ref[0, 0])
+    dv_scr[:] += _dot_0(_mx(p, g_ref), g_ref[0, 0])
+    dk_scr[:] += _dot_0(_mx(ds, qc_ref), qc_ref[0, 0])
+    dtab_scr[:] += _dot_0(_mx(jnp.where(sel_a, ds, 0.0), ga_ref),
+                          ga_ref[0, 0])
+    dtab_scr[:] += _dot_0(_mx(jnp.where(sel_b, ds, 0.0), gb_ref),
+                          gb_ref[0, 0])
 
     @pl.when(iq == nq - 1)
     def _emit_kv():
@@ -534,8 +565,8 @@ def _rel_bwd_q_kernel(
         s + pos, dead, lse_ref[0, 0], delta_ref[0, 0],
         g_ref[0, 0], v_ref[0, 0], scale, mask, 1.0 - dropout_p,
     )
-    dqc_scr[:] += _dot(ds, k_ref[0, 0])
-    dgp_scr[:] += _dot(ds, tab_ref[:])
+    dqc_scr[:] += _dot(_mx(ds, k_ref), k_ref[0, 0])
+    dgp_scr[:] += _dot(_mx(ds, tab_ref), tab_ref[:])
 
     @pl.when(ik == pl.num_programs(3) - 1)
     def _emit():
@@ -579,9 +610,9 @@ def _rel_bwd_kv_kernel(
         s + pos, dead, lse_ref[0, 0], delta_ref[0, 0],
         g_ref[0, 0], v_ref[0, 0], scale, mask, 1.0 - dropout_p,
     )
-    dv_scr[:] += _dot_0(p, g_ref[0, 0])
-    dk_scr[:] += _dot_0(ds, qc_ref[0, 0])
-    dtab_scr[:] += _dot_0(ds, g_pos_ref[0, 0])
+    dv_scr[:] += _dot_0(_mx(p, g_ref), g_ref[0, 0])
+    dk_scr[:] += _dot_0(_mx(ds, qc_ref), qc_ref[0, 0])
+    dtab_scr[:] += _dot_0(_mx(ds, g_pos_ref), g_pos_ref[0, 0])
 
     @pl.when(iq == nq - 1)
     def _emit_kv():
@@ -615,7 +646,7 @@ def _plain_bwd_q_kernel(
         s, dead, lse_ref[0, 0], delta_ref[0, 0],
         g_ref[0, 0], v_ref[0, 0], scale, mask, 1.0 - dropout_p,
     )
-    dq_scr[:] += _dot(ds, k_ref[0, 0])
+    dq_scr[:] += _dot(_mx(ds, k_ref), k_ref[0, 0])
 
     @pl.when(ik == pl.num_programs(3) - 1)
     def _emit():
@@ -646,8 +677,8 @@ def _plain_bwd_kv_kernel(
         s, dead, lse_ref[0, 0], delta_ref[0, 0],
         g_ref[0, 0], v_ref[0, 0], scale, mask, 1.0 - dropout_p,
     )
-    dv_scr[:] += _dot_0(p, g_ref[0, 0])
-    dk_scr[:] += _dot_0(ds, q_ref[0, 0])
+    dv_scr[:] += _dot_0(_mx(p, g_ref), g_ref[0, 0])
+    dk_scr[:] += _dot_0(_mx(ds, q_ref), q_ref[0, 0])
 
     @pl.when(iq == nq - 1)
     def _emit_kv():
@@ -785,9 +816,11 @@ def _xl_dense(qc, k, v, gA, gB, table, pad, seed, *, scale, dropout_p=0.0):
     """Dense factorized oracle in head-major layout (non-TPU fallback;
     mirrors `ops/xl_attention.py` math).  Returns (context, lse)."""
     T = qc.shape[2]
-    content = jnp.einsum("bhqd,bhkd->bhqk", qc, k)
-    pa = jnp.einsum("bhqe,ke->bhqk", gA, table)
-    pb = jnp.einsum("bhqe,ke->bhqk", gB, table)
+    f32 = jnp.float32  # fp32 logits/softmax/outputs regardless of stream
+    content = jnp.einsum("bhqd,bhkd->bhqk", qc, k,
+                         preferred_element_type=f32)
+    pa = jnp.einsum("bhqe,ke->bhqk", gA, table, preferred_element_type=f32)
+    pb = jnp.einsum("bhqe,ke->bhqk", gB, table, preferred_element_type=f32)
     i = jnp.arange(T)[:, None]
     j = jnp.arange(T)[None, :]
     pos = jnp.where(j <= i, pa, jnp.where(j >= i + 2, pb, 0.0))
@@ -797,7 +830,8 @@ def _xl_dense(qc, k, v, gA, gB, table, pad, seed, *, scale, dropout_p=0.0):
     lse = jax.scipy.special.logsumexp(logits, axis=-1)[..., None]
     if dropout_p > 0.0:
         attn = _dense_dropout(attn, seed, dropout_p)
-    return jnp.einsum("bhqk,bhkd->bhqd", attn, v), lse
+    return jnp.einsum("bhqk,bhkd->bhqd", attn.astype(v.dtype), v,
+                      preferred_element_type=f32), lse
 
 
 def _xl_bwd_pallas(qc, k, v, gA, gB, table, pad, lse, delta, g, seed,
@@ -825,7 +859,9 @@ def _xl_bwd_dense(qc, k, v, gA, gB, table, pad, lse, delta, g, seed,
         )[0],
         qc, k, v, gA, gB, table,
     )
-    return vjp(g)
+    # fp32 like the Pallas branch (platform_dependent output types must
+    # match); the caller downcasts to the primal dtypes
+    return tuple(x.astype(jnp.float32) for x in vjp(g.astype(jnp.float32)))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
@@ -842,12 +878,18 @@ def _xl_fwd(qc, k, v, gA, gB, table, pad, seed, scale, dropout_p):
 
 def _xl_bwd(scale, dropout_p, res, g):
     qc, k, v, gA, gB, table, pad, seed, out, lse = res
-    g = g.astype(jnp.float32)
-    delta = jnp.sum(g * out, axis=-1, keepdims=True)
+    delta = jnp.sum(g.astype(jnp.float32) * out, axis=-1, keepdims=True)
+    # the cotangent rides the stream dtype so the kernels' dp/dv matmuls
+    # stay at native MXU rate under bf16 streams (delta stays fp32)
+    g = g.astype(v.dtype)
     grads = _dispatch(
         _xl_bwd_pallas, _xl_bwd_dense,
         (qc, k, v, gA, gB, table, pad, lse, delta, g, seed), scale,
         dropout_p,
+    )
+    grads = tuple(
+        gr.astype(p.dtype) for gr, p in zip(grads, (qc, k, v, gA, gB,
+                                                    table))
     )
     return (*grads, jnp.zeros_like(pad), _seed_cotangent(seed))
 
@@ -873,16 +915,22 @@ def flash_xl_attention(
     produces, runs the head-major fused kernel, and returns the
     (B, T, H*D) context.  ``dropout_p`` > 0 applies attention-weight
     dropout inside the kernel (mask regenerated from ``dropout_seed``, a
-    (1,) int32, in forward and backward — never materialised in HBM)."""
+    (1,) int32, in forward and backward — never materialised in HBM).
+
+    bf16 inputs stay bf16 through the kernel's MXU contractions
+    (softmax/LSE/accumulators fp32) — matching what XLA gives the
+    dense/shift paths under the mixed-precision policy; everything else
+    upcasts to fp32."""
     B, T, H, D = qc.shape
-    hm = lambda x: jnp.transpose(x, (0, 2, 1, 3)).astype(jnp.float32)
+    cd = jnp.bfloat16 if qc.dtype == jnp.bfloat16 else jnp.float32
+    hm = lambda x: jnp.transpose(x, (0, 2, 1, 3)).astype(cd)
     pad = (
         pad_mask.astype(jnp.float32)
         if pad_mask is not None
         else jnp.zeros((B, T), jnp.float32)
     )
     tp = _padded_time(T)
-    table = table.astype(jnp.float32)
+    table = table.astype(cd)
     if tp != T:
         ext = lambda x: jnp.pad(x, ((0, 0), (0, tp - T), (0, 0), (0, 0)))
         qc, k, v, gA, gB = map(ext, (qc, k, v, gA, gB))
@@ -916,15 +964,18 @@ def _rel_forward(qc, k, v, g, table, pad, seed, scale, dropout_p):
 
 
 def _rel_dense(qc, k, v, g, table, pad, seed, *, scale, dropout_p=0.0):
-    content = jnp.einsum("bhqd,bhkd->bhqk", qc, k)
-    pos = jnp.einsum("bhqe,ke->bhqk", g, table)
+    f32 = jnp.float32
+    content = jnp.einsum("bhqd,bhkd->bhqk", qc, k,
+                         preferred_element_type=f32)
+    pos = jnp.einsum("bhqe,ke->bhqk", g, table, preferred_element_type=f32)
     logits = (content + pos) * scale
     logits = jnp.where(pad[:, None, None, :] > 0.5, MASK_NEG, logits)
     attn = jax.nn.softmax(logits, axis=-1)
     lse = jax.scipy.special.logsumexp(logits, axis=-1)[..., None]
     if dropout_p > 0.0:
         attn = _dense_dropout(attn, seed, dropout_p)
-    return jnp.einsum("bhqk,bhkd->bhqd", attn, v), lse
+    return jnp.einsum("bhqk,bhkd->bhqd", attn.astype(v.dtype), v,
+                      preferred_element_type=f32), lse
 
 
 def _rel_bwd_pallas(qc, k, v, gp, table, pad, lse, delta, g, seed,
@@ -952,7 +1003,7 @@ def _rel_bwd_dense(qc, k, v, gp, table, pad, lse, delta, g, seed,
         )[0],
         qc, k, v, gp, table,
     )
-    return vjp(g)
+    return tuple(x.astype(jnp.float32) for x in vjp(g.astype(jnp.float32)))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
@@ -967,12 +1018,16 @@ def _rel_fwd(qc, k, v, g, table, pad, seed, scale, dropout_p):
 
 def _rel_bwd(scale, dropout_p, res, g_out):
     qc, k, v, gp, table, pad, seed, out, lse = res
-    g_out = g_out.astype(jnp.float32)
-    delta = jnp.sum(g_out * out, axis=-1, keepdims=True)
+    delta = jnp.sum(g_out.astype(jnp.float32) * out, axis=-1,
+                    keepdims=True)
+    g_out = g_out.astype(v.dtype)
     grads = _dispatch(
         _rel_bwd_pallas, _rel_bwd_dense,
         (qc, k, v, gp, table, pad, lse, delta, g_out, seed), scale,
         dropout_p,
+    )
+    grads = tuple(
+        gr.astype(p.dtype) for gr, p in zip(grads, (qc, k, v, gp, table))
     )
     return (*grads, jnp.zeros_like(pad), _seed_cotangent(seed))
 
@@ -995,16 +1050,18 @@ def flash_rel_attention(
 
     qc = q + pos_bias_u, g = the pre-rotated position-query stream
     (`ops/espnet_attention.py:rel_pos_queries`), table = the negative half
-    of the symmetric rel table (t_{-j}, j = 0..T-1)."""
+    of the symmetric rel table (t_{-j}, j = 0..T-1).  bf16 inputs stay
+    bf16 through the MXU contractions (see ``flash_xl_attention``)."""
     B, T, H, D = qc.shape
-    hm = lambda x: jnp.transpose(x, (0, 2, 1, 3)).astype(jnp.float32)
+    cd = jnp.bfloat16 if qc.dtype == jnp.bfloat16 else jnp.float32
+    hm = lambda x: jnp.transpose(x, (0, 2, 1, 3)).astype(cd)
     pad = (
         pad_mask.astype(jnp.float32)
         if pad_mask is not None
         else jnp.zeros((B, T), jnp.float32)
     )
     tp = _padded_time(T)
-    table = table.astype(jnp.float32)
+    table = table.astype(cd)
     if tp != T:
         ext = lambda x: jnp.pad(x, ((0, 0), (0, tp - T), (0, 0), (0, 0)))
         qc, k, v, g = map(ext, (qc, k, v, g))
@@ -1037,13 +1094,16 @@ def _plain_forward(q, k, v, pad, seed, scale, dropout_p):
 
 
 def _plain_dense(q, k, v, pad, seed, *, scale, dropout_p=0.0):
-    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+    f32 = jnp.float32
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=f32) * scale
     logits = jnp.where(pad[:, None, None, :] > 0.5, MASK_NEG, logits)
     attn = jax.nn.softmax(logits, axis=-1)
     lse = jax.scipy.special.logsumexp(logits, axis=-1)[..., None]
     if dropout_p > 0.0:
         attn = _dense_dropout(attn, seed, dropout_p)
-    return jnp.einsum("bhqk,bhkd->bhqd", attn, v), lse
+    return jnp.einsum("bhqk,bhkd->bhqd", attn.astype(v.dtype), v,
+                      preferred_element_type=f32), lse
 
 
 def _plain_bwd_pallas(q, k, v, pad, lse, delta, g, seed, *, scale,
@@ -1070,7 +1130,7 @@ def _plain_bwd_dense(q, k, v, pad, lse, delta, g, seed, *, scale,
         )[0],
         q, k, v,
     )
-    return vjp(g)
+    return tuple(x.astype(jnp.float32) for x in vjp(g.astype(jnp.float32)))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
@@ -1085,11 +1145,15 @@ def _plain_fwd(q, k, v, pad, seed, scale, dropout_p):
 
 def _plain_bwd(scale, dropout_p, res, g_out):
     q, k, v, pad, seed, out, lse = res
-    g_out = g_out.astype(jnp.float32)
-    delta = jnp.sum(g_out * out, axis=-1, keepdims=True)
+    delta = jnp.sum(g_out.astype(jnp.float32) * out, axis=-1,
+                    keepdims=True)
+    g_out = g_out.astype(v.dtype)
     grads = _dispatch(
         _plain_bwd_pallas, _plain_bwd_dense,
         (q, k, v, pad, lse, delta, g_out, seed), scale, dropout_p,
+    )
+    grads = tuple(
+        gr.astype(p.dtype) for gr, p in zip(grads, (q, k, v))
     )
     return (*grads, jnp.zeros_like(pad), _seed_cotangent(seed))
 
@@ -1108,9 +1172,11 @@ def flash_attention(
 ) -> jnp.ndarray:
     """Plain scaled-dot MHA flash attention (feature-last API):
     q/k/v (B, T, H, D), pad_mask (B, T) True at padding keys; returns
-    (B, T, H*D)."""
+    (B, T, H*D).  bf16 inputs stay bf16 through the MXU contractions
+    (see ``flash_xl_attention``)."""
     B, T, H, D = q.shape
-    hm = lambda x: jnp.transpose(x, (0, 2, 1, 3)).astype(jnp.float32)
+    cd = jnp.bfloat16 if q.dtype == jnp.bfloat16 else jnp.float32
+    hm = lambda x: jnp.transpose(x, (0, 2, 1, 3)).astype(cd)
     pad = (
         pad_mask.astype(jnp.float32)
         if pad_mask is not None
