@@ -56,6 +56,57 @@ def test_flash_matches_dense(T, masked):
     )
 
 
+def test_flash_two_stream_xl_direct(T=48):
+    """The pre-rotated two-stream kernel stays the fallback for
+    T > _XL2_MAX_T, but `xl_attention`'s flash routing now sends every
+    in-range T to the single-stream xl2 op — so pin the two-stream path
+    directly (values + grads vs its dense oracle)."""
+    import viet_tts_tpu.ops.pallas_attention as pa
+
+    q, k, v, u, v_b, pk, table, scale = _inputs(T, seed=6)
+    qc = q + u
+    gA, gB = xl_pos_queries(q + v_b, pk)
+    pad = jnp.arange(T)[None, :] >= jnp.asarray([T, T - 5])[:, None]
+    want = xl_attention(q, k, v, u, v_b, pk, table, scale, pad_mask=pad)
+    hm = lambda x: jnp.transpose(x, (0, 2, 1, 3))
+    with pltpu.force_tpu_interpret_mode():
+        got = pa.flash_xl_attention(
+            qc, k, v, gA, gB, table, scale, pad_mask=pad
+        )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want).reshape(got.shape),
+        rtol=2e-5, atol=2e-5,
+    )
+    del hm
+
+    w = _rand(21, B, T, H * D)
+
+    def loss(qc, k, v, gA, gB):
+        out = pa.flash_xl_attention(qc, k, v, gA, gB, table, scale,
+                                    pad_mask=pad)
+        return jnp.sum(out * w)
+
+    def loss_dense(qc, k, v, gA, gB):
+        out = pa._xl_dense(
+            jnp.transpose(qc, (0, 2, 1, 3)), jnp.transpose(k, (0, 2, 1, 3)),
+            jnp.transpose(v, (0, 2, 1, 3)), jnp.transpose(gA, (0, 2, 1, 3)),
+            jnp.transpose(gB, (0, 2, 1, 3)), table,
+            pad.astype(jnp.float32), jnp.zeros((1,), jnp.int32),
+            scale=scale,
+        )[0]
+        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(B, T, H * D)
+        return jnp.sum(out * w)
+
+    with pltpu.force_tpu_interpret_mode():
+        gf = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(qc, k, v, gA, gB)
+    gd = jax.grad(loss_dense, argnums=(0, 1, 2, 3, 4))(qc, k, v, gA, gB)
+    for a, b, name in zip(gf, gd, "qc k v gA gB".split()):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5,
+            err_msg=name,
+        )
+
+
 def test_flash_bf16_streams(T=48):
     """bf16 inputs stay bf16 through the kernel's MXU contractions (r5:
     under the mixed-precision policy the wrappers used to force-upcast to

@@ -90,6 +90,37 @@ def dropout_probe():
         "platform": jax.devices()[0].platform,
     }), flush=True)
 
+    # xl2 (single-stream, in-kernel rotations): same determinism +
+    # linear-identity checks on its own in-kernel dropout path
+    g2 = mk(9, B, H, T, E)
+    tab2 = pa._deinterleave_pairs(tab)
+    op2 = jax.jit(
+        lambda seed, v_, p: pa._xl2_op(qc, k, v_, g2, tab2, pad, seed,
+                                       scale, p, float(T)),
+        static_argnums=(2,),
+    )
+    a2 = np.asarray(op2(s13, v, P))
+    b2 = np.asarray(op2(s13, v, P))
+    c2 = np.asarray(op2(jnp.asarray([14], jnp.int32), v, P))
+    loss2 = jax.jit(
+        lambda v_, seed, p: jnp.sum(
+            pa._xl2_op(qc, k, v_, g2, tab2, pad, seed, scale, p,
+                       float(T)) * w),
+        static_argnums=(2,),
+    )
+    gv2 = jax.jit(jax.grad(loss2, argnums=0), static_argnums=(2,))(
+        v, s13, P)
+    lin2 = abs(
+        float(loss2(v, s13, P)) - float(jnp.vdot(gv2, v))
+    ) / (abs(float(loss2(v, s13, P))) + 1e-12)
+    print(json.dumps({
+        "probe": "dropout_xl2",
+        "deterministic": bool((a2 == b2).all()),
+        "seed_sensitive": bool((a2 != c2).any()),
+        "linear_identity_rel_err": round(lin2, 8),
+        "platform": jax.devices()[0].platform,
+    }), flush=True)
+
 
 def main(T=256):
     B, H, D, E = 4, 4, 48, 384
@@ -107,8 +138,18 @@ def main(T=256):
     w = mk(7, B, H, T, D)
     scale = 1.0 / np.sqrt(D)
 
+    g2 = mk(8, B, H, T, E)  # deinterleaved single stream (xl2)
+    tab2 = pa._deinterleave_pairs(tab)
     seed0 = jnp.zeros((1,), jnp.int32)
     cases = {
+        "xl2": (
+            lambda *a: jnp.sum(
+                pa._xl2_op(*a, pad, seed0, scale, 0.0, float(T)) * w),
+            lambda *a: jnp.sum(
+                pa._xl2_dense(*a, pad, seed0, scale=scale,
+                              t_sem=float(T))[0] * w),
+            (qc, k, v, g2, tab2),
+        ),
         "xl": (
             lambda *a: jnp.sum(pa._xl_op(*a, pad, seed0, scale, 0.0) * w),
             lambda *a: jnp.sum(

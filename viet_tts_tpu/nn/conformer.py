@@ -124,7 +124,13 @@ class RelativeMultiHeadAttention(nn.Module):
             pos_kernel = pos_proj(jnp.eye(table.shape[-1], dtype=x.dtype))
             if impl == "flash":
                 from viet_tts_tpu.ops.pallas_attention import (
+                    _XL2_MAX_T,
+                    _padded_time,
+                    flash_xl2_attention,
                     flash_xl_attention,
+                )
+                from viet_tts_tpu.ops.xl_attention import (
+                    xl_pos_query_stream,
                 )
 
                 drop_p, seed = 0.0, None
@@ -134,11 +140,22 @@ class RelativeMultiHeadAttention(nn.Module):
                         self.make_rng("dropout"), (1,), 0,
                         jnp.iinfo(jnp.int32).max, dtype=jnp.int32,
                     )
-                gA, gB = xl_pos_queries(q + v_bias, pos_kernel)
-                ctx = flash_xl_attention(
-                    q + u_bias, k, v, gA, gB, table, scale,
-                    pad_mask=pad_mask, dropout_p=drop_p, dropout_seed=seed,
-                )
+                if _padded_time(T) <= _XL2_MAX_T:
+                    # single-stream kernel: the rotated (B,T,H,E) copies
+                    # never reach HBM (ops/pallas_attention.py xl2 note)
+                    g = xl_pos_query_stream(q + v_bias, pos_kernel)
+                    ctx = flash_xl2_attention(
+                        q + u_bias, k, v, g, table, scale,
+                        pad_mask=pad_mask, dropout_p=drop_p,
+                        dropout_seed=seed,
+                    )
+                else:
+                    gA, gB = xl_pos_queries(q + v_bias, pos_kernel)
+                    ctx = flash_xl_attention(
+                        q + u_bias, k, v, gA, gB, table, scale,
+                        pad_mask=pad_mask, dropout_p=drop_p,
+                        dropout_seed=seed,
+                    )
                 return nn.Dense(self.d_model, name="out_proj")(ctx)
             gA, gB = xl_pos_queries(q + v_bias, pos_kernel)
             score = xl_attention_scores(

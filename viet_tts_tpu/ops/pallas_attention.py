@@ -356,7 +356,7 @@ def _plain_kernel(
 
 
 def _call_flash(kernel_fn, q_streams, k_streams, v, tables, pad, seed,
-                scale, dropout_p):
+                scale, dropout_p, bq=None, bk=None):
     """Shared forward pallas_call builder.
 
     q_streams: list of (B, H, T, Dq) query-side tensors (block over q);
@@ -367,8 +367,8 @@ def _call_flash(kernel_fn, q_streams, k_streams, v, tables, pad, seed,
     — i.e. (qc, k, v, extra-q..., tables..., pad), matching the kernel
     signatures above.  Returns (context (B, H, T, D), lse (B, H, T))."""
     B, H, T, D = v.shape
-    bq = _block_size(T)
-    bk = _block_size(T)
+    bq = bq or _block_size(T)
+    bk = bk or _block_size(T)
     grid = (B, H, pl.cdiv(T, bq), pl.cdiv(T, bk))
 
     q_spec = lambda d: pl.BlockSpec(
@@ -687,11 +687,13 @@ def _plain_bwd_kv_kernel(
 
 
 def _call_bwd_q(kernel_fn, q_streams, k_streams, tables, pad3, lse, delta,
-                g, seed, scale, dropout_p, out_dims, bq, bk):
+                g, seed, scale, dropout_p, out_dims, bq, bk,
+                extra_scratch=()):
     """bwd-q pallas_call: grid (B, H, nq, nk), key axis innermost; one
     output per entry of ``out_dims``, each blocked like a query stream,
     emitted after the key sweep.  Kernel ref order:
-    (*q_streams, *k_streams, *tables, pad, lse, delta, g, *outs, *scr)."""
+    (*q_streams, *k_streams, *tables, pad, lse, delta, g, *outs, *scr,
+    *extra_scratch)."""
     B, H, T, D = g.shape
     grid = (B, H, pl.cdiv(T, bq), pl.cdiv(T, bk))
     q_spec = lambda d: pl.BlockSpec(
@@ -724,7 +726,8 @@ def _call_bwd_q(kernel_fn, q_streams, k_streams, tables, pad3, lse, delta,
         grid=grid,
         in_specs=in_specs,
         out_specs=[q_spec(d) for d in out_dims],
-        scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32) for d in out_dims],
+        scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32) for d in out_dims]
+        + list(extra_scratch),
     )(*args)
     return out
 
@@ -940,6 +943,366 @@ def flash_xl_attention(
     ctx = _xl_op(
         hm(qc), hm(k), hm(v), hm(gA), hm(gB),
         table, pad, seed, float(scale), float(dropout_p),
+    )
+    ctx = jnp.transpose(ctx, (0, 2, 1, 3))[:, :T]
+    return ctx.reshape(B, T, H * D).astype(qc.dtype)
+
+
+# --------------------------------------------------------------------------
+# XL v2: single position stream, rotations INSIDE the kernel (r5)
+#
+# The two-stream form above needs gA/gB = rotate_pairs(K_h(q + v_bias))
+# materialised in HBM: at the FS2 training shape that is two
+# (B, H, T, 384) tensors per layer that the backward re-reads twice more,
+# plus the rotation VPU work and its autodiff — tools/flash_micro_bench.py
+# showed the kernel itself already beats the shift path, so this stream
+# production IS the full-step flash regression.  v2 streams only
+# g = K_h(q + v_bias) (one tensor) and applies the per-row Givens
+# rotations to the (bq, E) tile in VMEM, in both directions:
+#
+#   gA_i = rot(g_i, (T-1-i) w),  gB_i = rot(g_{i+1}, -(i+2) w)
+#
+# The g_{i+1} row shift is resolved entirely in-tile by requiring the
+# query axis to be ONE block (bq = padded T): row bq-1's gB is only
+# selected for keys j >= T+1, which the j >= t_kv mask kills, so a
+# zero-filled static shift is exact.  Layout: the wrapper de-interleaves
+# the sin/cos pairs of g and the table into [even | odd] halves so the
+# kernel's pair split is two contiguous lane slices instead of stride-2
+# lane gathers (the dot products are permutation-invariant as long as
+# both sides share the layout).
+# --------------------------------------------------------------------------
+
+
+def _deinterleave_pairs(x):
+    """(..., E) with sin/cos pairs (2m, 2m+1) -> (..., E) as
+    [even components | odd components].  Linear + orthogonal; applied
+    OUTSIDE the custom_vjp so autodiff chains the permutation."""
+    return jnp.concatenate([x[..., 0::2], x[..., 1::2]], axis=-1)
+
+
+def _xl2_cos_sin(rows, e, t_sem, mode):
+    """Per-row rotation angles in the deinterleaved layout.
+
+    rows: (bq, 1) fp32 row indices; e: full (even) table dim; t_sem: the
+    SEMANTIC sequence length (pre-padding — the wrapper pads streams with
+    zero rows but the rotation deltas must keep using the original T).
+    mode "A": delta_i = t_sem - 1 - i; mode "B": delta_i = -(i + 2).
+    Returns (cos, sin): (bq, e // 2) fp32."""
+    m = jax.lax.broadcasted_iota(jnp.float32, (1, e // 2), 1)
+    w = jnp.exp(m * (-2.0 * np.log(10000.0) / e))
+    delta = (t_sem - 1.0) - rows if mode == "A" else -(rows + 2.0)
+    ang = delta * w
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def _xl2_rot(g2, cos, sin):
+    """Apply the pair rotation in the deinterleaved layout:
+    g2 (bq, E) fp32/bf16 -> rotated (bq, E) fp32."""
+    e2 = g2.shape[-1] // 2
+    ge = g2[:, :e2].astype(jnp.float32)
+    go = g2[:, e2:].astype(jnp.float32)
+    return jnp.concatenate([ge * cos - go * sin, ge * sin + go * cos],
+                           axis=-1)
+
+
+def _xl2_rot_inv(h2, cos, sin):
+    """Inverse (transpose) of _xl2_rot — rotate by the negated angle."""
+    e2 = h2.shape[-1] // 2
+    he = h2[:, :e2].astype(jnp.float32)
+    ho = h2[:, e2:].astype(jnp.float32)
+    return jnp.concatenate([he * cos + ho * sin, ho * cos - he * sin],
+                           axis=-1)
+
+
+def _xl2_streams(g2_tile, tab_ref, bq, t_sem):
+    """Rotated (gA2, gB2) MXU operands for one whole-T query tile."""
+    rows = jax.lax.broadcasted_iota(jnp.float32, (bq, 1), 0)
+    e = g2_tile.shape[-1]
+    ca, sa = _xl2_cos_sin(rows, e, t_sem, "A")
+    cb, sb = _xl2_cos_sin(rows, e, t_sem, "B")
+    g_next = jnp.concatenate(
+        [g2_tile[1:], jnp.zeros_like(g2_tile[:1])], axis=0
+    )
+    ga2 = _mx(_xl2_rot(g2_tile, ca, sa), tab_ref)
+    gb2 = _mx(_xl2_rot(g_next, cb, sb), tab_ref)
+    return ga2, gb2, (ca, sa, cb, sb)
+
+
+def _xl2_kernel(
+    qc_ref, k_ref, v_ref, g2_ref, tab_ref, pad_ref, seed_ref,
+    out_ref, lse_ref, m_scr, l_scr, acc_scr,
+    *, scale, bq, bk, t_kv, t_sem, dropout_p,
+):
+    iq, ik = pl.program_id(2), pl.program_id(3)
+    ga2, gb2, _ = _xl2_streams(g2_ref[0, 0], tab_ref, bq, t_sem)
+    s = _dot_t(qc_ref[0, 0], k_ref[0, 0])
+    pa = _dot_t(ga2, tab_ref[:])
+    pb = _dot_t(gb2, tab_ref[:])
+    pos, _, _, j = _xl_pos_select(pa, pb, iq, ik, bq, bk)
+    logits = (s + pos) * scale
+    dead = (pad_ref[0, 0][None, :] > 0.5) | (j >= t_kv)
+    logits = jnp.where(dead, MASK_NEG, logits)
+    mask = (
+        _tile_dropout_mask(seed_ref, _fwd_tile_id(iq, ik), (bq, bk),
+                           dropout_p)
+        if dropout_p > 0.0 else None
+    )
+    _online_softmax_step(
+        logits, v_ref[0, 0], out_ref, lse_ref, m_scr, l_scr, acc_scr,
+        ik, pl.num_programs(3), mask, 1.0 - dropout_p,
+    )
+
+
+def _xl2_bwd_q_kernel(
+    qc_ref, g2_ref, k_ref, v_ref, tab_ref, pad_ref,
+    lse_ref, delta_ref, g_ref, seed_ref,
+    dqc_ref, dg2_ref, dqc_scr, dga_scr, dgb_scr,
+    *, scale, bq, bk, t_kv, t_sem, dropout_p,
+):
+    iq, ik = pl.program_id(2), pl.program_id(3)
+
+    @pl.when(ik == 0)
+    def _init():
+        dqc_scr[:] = jnp.zeros_like(dqc_scr)
+        dga_scr[:] = jnp.zeros_like(dga_scr)
+        dgb_scr[:] = jnp.zeros_like(dgb_scr)
+
+    ga2, gb2, (ca, sa, cb, sb) = _xl2_streams(
+        g2_ref[0, 0], tab_ref, bq, t_sem
+    )
+    s = _dot_t(qc_ref[0, 0], k_ref[0, 0])
+    pa = _dot_t(ga2, tab_ref[:])
+    pb = _dot_t(gb2, tab_ref[:])
+    pos, sel_a, sel_b, j = _xl_pos_select(pa, pb, iq, ik, bq, bk)
+    dead = (pad_ref[0, 0][None, :] > 0.5) | (j >= t_kv)
+    mask = (
+        _tile_dropout_mask(seed_ref, _fwd_tile_id(iq, ik), (bq, bk),
+                           dropout_p)
+        if dropout_p > 0.0 else None
+    )
+    _, ds = _p_ds(
+        s + pos, dead, lse_ref[0, 0], delta_ref[0, 0],
+        g_ref[0, 0], v_ref[0, 0], scale, mask, 1.0 - dropout_p,
+    )
+    dqc_scr[:] += _dot(_mx(ds, k_ref), k_ref[0, 0])
+    dga_scr[:] += _dot(_mx(jnp.where(sel_a, ds, 0.0), tab_ref), tab_ref[:])
+    dgb_scr[:] += _dot(_mx(jnp.where(sel_b, ds, 0.0), tab_ref), tab_ref[:])
+
+    @pl.when(ik == pl.num_programs(3) - 1)
+    def _emit():
+        dqc_ref[0, 0] = dqc_scr[:].astype(dqc_ref.dtype)
+        # chain the in-kernel rotations: dg = R_A^T dgA; dg_{i+1} +=
+        # R_B^T(i) dgB_i (row i of gB consumed g_{i+1})
+        dg = _xl2_rot_inv(dga_scr[:], ca, sa)
+        dgb = _xl2_rot_inv(dgb_scr[:], cb, sb)
+        dg += jnp.concatenate(
+            [jnp.zeros_like(dgb[:1]), dgb[:-1]], axis=0
+        )
+        dg2_ref[0, 0] = dg.astype(dg2_ref.dtype)
+
+
+def _xl2_bwd_kv_kernel(
+    qc_ref, g2_ref, k_ref, v_ref, tab_ref, pad_ref,
+    lse_ref, delta_ref, g_ref, seed_ref,
+    dk_ref, dv_ref, dtab_ref, dk_scr, dv_scr, dtab_scr,
+    *, scale, bq, bk, t_kv, t_sem, dropout_p,
+):
+    ik, ib, ih, iq = (
+        pl.program_id(0), pl.program_id(1), pl.program_id(2),
+        pl.program_id(3),
+    )
+    nb, nh, nq = (
+        pl.num_programs(1), pl.num_programs(2), pl.num_programs(3),
+    )
+
+    @pl.when(iq == 0)
+    def _init_kv():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    @pl.when((ib == 0) & (ih == 0) & (iq == 0))
+    def _init_tab():
+        dtab_scr[:] = jnp.zeros_like(dtab_scr)
+
+    ga2, gb2, _ = _xl2_streams(g2_ref[0, 0], tab_ref, bq, t_sem)
+    s = _dot_t(qc_ref[0, 0], k_ref[0, 0])
+    pa = _dot_t(ga2, tab_ref[:])
+    pb = _dot_t(gb2, tab_ref[:])
+    pos, sel_a, sel_b, j = _xl_pos_select(pa, pb, iq, ik, bq, bk)
+    dead = (pad_ref[0, 0][None, :] > 0.5) | (j >= t_kv)
+    mask = (
+        _tile_dropout_mask(seed_ref, _kv_tile_id(iq, ik), (bq, bk),
+                           dropout_p)
+        if dropout_p > 0.0 else None
+    )
+    p, ds = _p_ds(
+        s + pos, dead, lse_ref[0, 0], delta_ref[0, 0],
+        g_ref[0, 0], v_ref[0, 0], scale, mask, 1.0 - dropout_p,
+    )
+    dv_scr[:] += _dot_0(_mx(p, g_ref), g_ref[0, 0])
+    dk_scr[:] += _dot_0(_mx(ds, qc_ref), qc_ref[0, 0])
+    dtab_scr[:] += _dot_0(
+        _mx(jnp.where(sel_a, ds, 0.0), tab_ref), _mx(ga2, tab_ref)
+    )
+    dtab_scr[:] += _dot_0(
+        _mx(jnp.where(sel_b, ds, 0.0), tab_ref), _mx(gb2, tab_ref)
+    )
+
+    @pl.when(iq == nq - 1)
+    def _emit_kv():
+        dk_ref[0, 0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[:].astype(dv_ref.dtype)
+
+    @pl.when((ib == nb - 1) & (ih == nh - 1) & (iq == nq - 1))
+    def _emit_tab():
+        dtab_ref[:] = dtab_scr[:].astype(dtab_ref.dtype)
+
+
+def _xl2_pallas(qc, k, v, g2, table, pad, seed, *, scale, dropout_p,
+                t_sem):
+    T = qc.shape[2]
+    kernel = functools.partial(_xl2_kernel, t_sem=float(t_sem))
+    return _call_flash(
+        kernel, [qc, g2], [k], v, [table], pad, seed, scale, dropout_p,
+        bq=T, bk=_block_size(T),
+    )
+
+
+def _xl2_dense(qc, k, v, g2, table, pad, seed, *, scale, dropout_p=0.0,
+               t_sem=None):
+    """Dense oracle in the deinterleaved single-stream parameterisation:
+    reconstructs the rotated streams with the same math as the kernel
+    (fp32), then reuses the two-stream dense body."""
+    B, H, T, E = g2.shape
+    t_sem = T if t_sem is None else t_sem
+    rows = jnp.arange(T, dtype=jnp.float32)[:, None]
+    ca, sa = _xl2_cos_sin(rows, E, float(t_sem), "A")
+    cb, sb = _xl2_cos_sin(rows, E, float(t_sem), "B")
+    flat = g2.reshape(B * H, T, E)
+    rot = lambda x, c, s: jnp.concatenate(
+        [x[..., : E // 2] * c - x[..., E // 2:] * s,
+         x[..., : E // 2] * s + x[..., E // 2:] * c], axis=-1)
+    gA = rot(flat.astype(jnp.float32), ca, sa).reshape(B, H, T, E)
+    g_next = jnp.concatenate(
+        [flat[:, 1:], jnp.zeros_like(flat[:, :1])], axis=1
+    )
+    gB = rot(g_next.astype(jnp.float32), cb, sb).reshape(B, H, T, E)
+    return _xl_dense(qc, k, v, gA.astype(g2.dtype), gB.astype(g2.dtype),
+                     table, pad, seed, scale=scale, dropout_p=dropout_p)
+
+
+def _xl2_bwd_pallas(qc, k, v, g2, table, pad, lse, delta, g, seed,
+                    *, scale, dropout_p, t_sem):
+    B, H, T, D = qc.shape
+    E = table.shape[-1]
+    bq, bk = T, _block_size(T)
+    pad3 = pad.reshape(B, 1, T)
+    kq = functools.partial(_xl2_bwd_q_kernel, t_sem=float(t_sem))
+    kkv = functools.partial(_xl2_bwd_kv_kernel, t_sem=float(t_sem))
+    dqc, dg2 = _call_bwd_q(
+        kq, [qc, g2], [k, v], [table], pad3, lse, delta,
+        g, seed, scale, dropout_p, [D, E], bq, bk,
+        extra_scratch=[pltpu.VMEM((bq, E), jnp.float32)],
+    )
+    dk, dv, dtab = _call_bwd_kv(
+        kkv, [qc, g2], [k, v], [table], pad3, lse, delta,
+        g, seed, scale, dropout_p, E, bq, bk,
+    )
+    return dqc, dk, dv, dg2, dtab
+
+
+def _xl2_bwd_dense(qc, k, v, g2, table, pad, lse, delta, g, seed,
+                   *, scale, dropout_p=0.0, t_sem=None):
+    _, vjp = jax.vjp(
+        lambda *a: _xl2_dense(
+            *a, pad, seed, scale=scale, dropout_p=dropout_p, t_sem=t_sem
+        )[0],
+        qc, k, v, g2, table,
+    )
+    return tuple(x.astype(jnp.float32) for x in vjp(g.astype(jnp.float32)))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def _xl2_op(qc, k, v, g2, table, pad, seed, scale, dropout_p, t_sem):
+    return _dispatch(
+        functools.partial(_xl2_pallas, t_sem=t_sem),
+        functools.partial(_xl2_dense, t_sem=t_sem),
+        (qc, k, v, g2, table, pad, seed), scale, dropout_p,
+    )[0]
+
+
+def _xl2_fwd(qc, k, v, g2, table, pad, seed, scale, dropout_p, t_sem):
+    out, lse = _dispatch(
+        functools.partial(_xl2_pallas, t_sem=t_sem),
+        functools.partial(_xl2_dense, t_sem=t_sem),
+        (qc, k, v, g2, table, pad, seed), scale, dropout_p,
+    )
+    return out, (qc, k, v, g2, table, pad, seed, out, lse)
+
+
+def _xl2_bwd(scale, dropout_p, t_sem, res, g):
+    qc, k, v, g2, table, pad, seed, out, lse = res
+    delta = jnp.sum(g.astype(jnp.float32) * out, axis=-1, keepdims=True)
+    g = g.astype(v.dtype)
+    grads = _dispatch(
+        functools.partial(_xl2_bwd_pallas, t_sem=t_sem),
+        functools.partial(_xl2_bwd_dense, t_sem=t_sem),
+        (qc, k, v, g2, table, pad, lse, delta, g, seed), scale,
+        dropout_p,
+    )
+    grads = tuple(
+        gr.astype(p.dtype) for gr, p in zip(grads, (qc, k, v, g2, table))
+    )
+    return (*grads, jnp.zeros_like(pad), _seed_cotangent(seed))
+
+
+_xl2_op.defvjp(_xl2_fwd, _xl2_bwd)
+
+# VMEM budget for the whole-T query tile: g2/dgA/dgB (T, 384) fp32
+# scratches + the (T, bk) score tile stay under the ~16 MB/core budget up
+# to T=1024 (the reference's 1000-frame cap pads to at most 1024); longer
+# sequences fall back to the two-stream flavour in `flash_xl_attention`.
+_XL2_MAX_T = 1024
+
+
+def flash_xl2_attention(
+    qc: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    g: jnp.ndarray,
+    table: jnp.ndarray,
+    scale: float,
+    pad_mask: Optional[jnp.ndarray] = None,
+    dropout_p: float = 0.0,
+    dropout_seed: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Single-stream XL flash attention (feature-last API).
+
+    qc = q + u_bias (B, T, H, D); g = K_h(q + v_bias) (B, T, H, E) — the
+    UNROTATED position-query stream (`ops/xl_attention.py:xl_pos_queries`
+    without its rotate_pairs); table = raw sinusoids (T, E).  The per-row
+    XL rotations happen inside the kernels, so the two rotated
+    (B, H, T, E) streams never exist in HBM."""
+    B, T, H, D = qc.shape
+    cd = jnp.bfloat16 if qc.dtype == jnp.bfloat16 else jnp.float32
+    hm = lambda x: jnp.transpose(x, (0, 2, 1, 3)).astype(cd)
+    pad = (
+        pad_mask.astype(jnp.float32)
+        if pad_mask is not None
+        else jnp.zeros((B, T), jnp.float32)
+    )
+    tp = _padded_time(T)
+    g2 = _deinterleave_pairs(g)
+    tab2 = _deinterleave_pairs(table).astype(cd)
+    if tp != T:
+        ext = lambda x: jnp.pad(x, ((0, 0), (0, tp - T), (0, 0), (0, 0)))
+        qc, k, v, g2 = map(ext, (qc, k, v, g2))
+        tab2 = jnp.pad(tab2, ((0, tp - T), (0, 0)))
+        pad = jnp.pad(pad, ((0, 0), (0, tp - T)), constant_values=1.0)
+    seed = _zero_seed() if dropout_seed is None else dropout_seed
+    ctx = _xl2_op(
+        hm(qc), hm(k), hm(v), hm(g2), tab2, pad, seed, float(scale),
+        float(dropout_p), float(T),
     )
     ctx = jnp.transpose(ctx, (0, 2, 1, 3))[:, :T]
     return ctx.reshape(B, T, H * D).astype(qc.dtype)

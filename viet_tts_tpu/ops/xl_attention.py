@@ -75,6 +75,21 @@ def rotate_pairs(
     return out.at[..., 1::2].set(ho)
 
 
+def xl_pos_query_stream(
+    q_v: jnp.ndarray, pos_kernel: jnp.ndarray
+) -> jnp.ndarray:
+    """The UNROTATED folded position-query stream g = K_h(q + v_bias):
+    (B, T, H, E).  The single-stream flash kernel
+    (`ops/pallas_attention.py:flash_xl2_attention`) applies the per-row
+    rotations in VMEM, so ``xl_pos_queries``'s two rotated copies never
+    reach HBM on that path."""
+    B, T, H, D = q_v.shape
+    E = pos_kernel.shape[0]
+    k3 = pos_kernel.reshape(E, H, D)
+    # g[b,t,h,:] = K_h @ q'[b,t,h,:]
+    return jnp.einsum("bthd,ehd->bthe", q_v, k3)
+
+
 def xl_pos_queries(
     q_v: jnp.ndarray, pos_kernel: jnp.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -87,11 +102,8 @@ def xl_pos_queries(
     docstring). Row T-1 of gB is never selected (j > T); it holds the
     rolled row 0 rotation, masked downstream.
     """
-    B, T, H, D = q_v.shape
-    E = pos_kernel.shape[0]
-    k3 = pos_kernel.reshape(E, H, D)
-    # g[b,t,h,:] = K_h @ q'[b,t,h,:]
-    g = jnp.einsum("bthd,ehd->bthe", q_v, k3)
+    T = q_v.shape[1]
+    g = xl_pos_query_stream(q_v, pos_kernel)
     idx = jnp.arange(T, dtype=jnp.float32)
     gA = rotate_pairs(g, (T - 1) - idx, row_axis=-3)
     g_next = jnp.roll(g, -1, axis=1)
@@ -182,9 +194,13 @@ def xl_attention(
         softmax, no (B, H, T, T) round-trip at all.
     """
     qc = q + u_bias
-    gA, gB = xl_pos_queries(q + v_bias, pos_kernel)
     if implementation == "flash":
-        from viet_tts_tpu.ops.pallas_attention import flash_xl_attention
+        from viet_tts_tpu.ops.pallas_attention import (
+            _XL2_MAX_T,
+            _padded_time,
+            flash_xl2_attention,
+            flash_xl_attention,
+        )
 
         seed = None
         if dropout_p > 0.0 and dropout_rng is not None:
@@ -192,10 +208,20 @@ def xl_attention(
                 dropout_rng, (1,), 0, jnp.iinfo(jnp.int32).max,
                 dtype=jnp.int32,
             )
+        if _padded_time(q.shape[1]) <= _XL2_MAX_T:
+            # single-stream kernel: rotations in VMEM, one (B,T,H,E)
+            # stream instead of two rotated copies
+            g = xl_pos_query_stream(q + v_bias, pos_kernel)
+            return flash_xl2_attention(
+                qc, k, v, g, table, scale, pad_mask=pad_mask,
+                dropout_p=dropout_p, dropout_seed=seed,
+            )
+        gA, gB = xl_pos_queries(q + v_bias, pos_kernel)
         return flash_xl_attention(
             qc, k, v, gA, gB, table, scale, pad_mask=pad_mask,
             dropout_p=dropout_p, dropout_seed=seed,
         )
+    gA, gB = xl_pos_queries(q + v_bias, pos_kernel)
     scores = xl_attention_scores(qc, k, gA, gB, table, scale)
     if pad_mask is not None:
         scores = jnp.where(pad_mask[:, None, None, :], MASK_NEG, scores)
