@@ -988,7 +988,10 @@ def _xl2_cos_sin(rows, e, t_sem, mode):
     zero rows but the rotation deltas must keep using the original T).
     mode "A": delta_i = t_sem - 1 - i; mode "B": delta_i = -(i + 2).
     Returns (cos, sin): (bq, e // 2) fp32."""
-    m = jax.lax.broadcasted_iota(jnp.float32, (1, e // 2), 1)
+    # integer iota + cast: Mosaic's tpu.iota only produces integer vectors
+    # (fp32 iota verifies in interpret mode but fails TPU lowering)
+    m = jax.lax.broadcasted_iota(jnp.int32, (1, e // 2), 1).astype(
+        jnp.float32)
     w = jnp.exp(m * (-2.0 * np.log(10000.0) / e))
     delta = (t_sem - 1.0) - rows if mode == "A" else -(rows + 2.0)
     ang = delta * w
@@ -1016,7 +1019,8 @@ def _xl2_rot_inv(h2, cos, sin):
 
 def _xl2_streams(g2_tile, tab_ref, bq, t_sem):
     """Rotated (gA2, gB2) MXU operands for one whole-T query tile."""
-    rows = jax.lax.broadcasted_iota(jnp.float32, (bq, 1), 0)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (bq, 1), 0).astype(
+        jnp.float32)
     e = g2_tile.shape[-1]
     ca, sa = _xl2_cos_sin(rows, e, t_sem, "A")
     cb, sb = _xl2_cos_sin(rows, e, t_sem, "B")
