@@ -175,6 +175,16 @@ def bucket_of(op_name: str) -> str:
         ("adam", "optimizer"),
         ("clip_by_global", "optimizer"),
         ("postnet", "postnet"),
+        # conformer-internal buckets (train-step byte attribution): must
+        # precede the encoder/decoder catch-alls — op_name paths look like
+        # encoder/layer_3/mhsa/..., decoder/layer_0/ff1/... (nn/conformer.py)
+        ("mhsa", "conformer-attn"),
+        ("xl_attention", "conformer-attn"),
+        ("flash", "conformer-attn"),
+        ("/ff1", "conformer-ffn"),
+        ("/ff2", "conformer-ffn"),
+        ("/conv/", "conformer-conv"),
+        ("final_ln", "conformer-norms"),
         ("encoder_", "text-encoder"),
         ("/encoder", "text-encoder"),
         ("decoder", "mel-decoder"),
@@ -383,20 +393,23 @@ def build_and_lower(batch: int = 16, t_text: int = 64, t_mel: int = 512,
 
 
 def build_and_lower_fs2_train(mixed_precision: bool = False,
-                              remat: bool = False):
+                              remat: bool = False, batch: int | None = None,
+                              attn: str | None = None):
     """Lower the full-config FS2 train step (fwd+bwd+AdamW) via the bench
     harness helpers — same graph `train_fs2_*` numbers come from. With
     ``remat`` the per-block gradient checkpointing path (`train_fs2_remat_*`
-    stages) is lowered instead."""
+    stages) is lowered instead; ``batch``/``attn`` select the byte-regime
+    variants (`train_fs2_b64_*`, `train_fs2_flash_*`)."""
     import jax
 
     import bench
     from viet_tts_tpu.train.steps import make_fs2_train_step
 
-    model, criterion, state, batch = bench._fs2_train_setup(remat=remat)
+    model, criterion, state, batch_ = bench._fs2_train_setup(
+        remat=remat, batch_size=batch, attn=attn)
     step = jax.jit(make_fs2_train_step(model, criterion, mixed_precision))
     key = jax.random.PRNGKey(0)
-    return step.lower(state, batch, key).compile()
+    return step.lower(state, batch_, key).compile()
 
 
 def main():
@@ -408,6 +421,10 @@ def main():
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--remat", action="store_true",
                     help="fs2_train only: lower the per-block remat variant")
+    ap.add_argument("--attn", default=None,
+                    help="fs2_train only: attn_implementation override")
+    ap.add_argument("--train-batch", type=int, default=None,
+                    help="fs2_train only: batch-size override (e.g. 64)")
     ap.add_argument("--top", type=int, default=15)
     args = ap.parse_args()
 
@@ -424,7 +441,8 @@ def main():
 
     if args.graph == "fs2_train":
         compiled = build_and_lower_fs2_train(
-            mixed_precision=args.bf16, remat=args.remat
+            mixed_precision=args.bf16, remat=args.remat,
+            batch=args.train_batch, attn=args.attn,
         )
     else:
         compiled = build_and_lower(batch=args.batch, bf16=args.bf16)
