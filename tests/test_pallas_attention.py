@@ -107,6 +107,94 @@ def test_flash_two_stream_xl_direct(T=48):
         )
 
 
+def test_flash_single_stream_xl2_direct(T=48):
+    """xl3 (projected-table) now takes the in-range flash routing, so pin
+    the single-stream xl2 op directly — it remains the fallback for
+    512 < T_padded <= 1024 (values + grads vs the dense shift oracle)."""
+    import viet_tts_tpu.ops.pallas_attention as pa
+    from viet_tts_tpu.ops.xl_attention import xl_pos_query_stream
+
+    q, k, v, u, v_b, pk, table, scale = _inputs(T, seed=8)
+    pad = jnp.arange(T)[None, :] >= jnp.asarray([T, T - 5])[:, None]
+    want = xl_attention(q, k, v, u, v_b, pk, table, scale, pad_mask=pad)
+    with pltpu.force_tpu_interpret_mode():
+        got = pa.flash_xl2_attention(
+            q + u, k, v, xl_pos_query_stream(q + v_b, pk), table, scale,
+            pad_mask=pad,
+        )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want).reshape(got.shape),
+        rtol=2e-5, atol=2e-5,
+    )
+
+    w = _rand(22, B, T, H * D)
+
+    def loss(q, k, v):
+        out = pa.flash_xl2_attention(
+            q + u, k, v, xl_pos_query_stream(q + v_b, pk), table, scale,
+            pad_mask=pad,
+        )
+        return jnp.sum(out * w)
+
+    def loss_dense(q, k, v):
+        return jnp.sum(
+            xl_attention(q, k, v, u, v_b, pk, table, scale, pad_mask=pad)
+            * w
+        )
+
+    with pltpu.force_tpu_interpret_mode():
+        gf = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    gd = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gd, "q k v".split()):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5,
+            err_msg=name,
+        )
+
+
+def test_flash_xl3_direct_unpadded(T=128):
+    """Direct pin of the projected-table xl3 op at an exact lane-multiple
+    T (d_pad = 0 — the routed tests at T=48/64 only ever exercise the
+    left-padded table path), values + grads incl. pos_kernel through the
+    p-table chain."""
+    import viet_tts_tpu.ops.pallas_attention as pa
+
+    q, k, v, u, v_b, pk, table, scale = _inputs(T, seed=9)
+    pad = jnp.arange(T)[None, :] >= jnp.asarray([T, T - 11])[:, None]
+    want = xl_attention(q, k, v, u, v_b, pk, table, scale, pad_mask=pad)
+
+    def via_xl3(q, k, v, pk):
+        p = (table @ pk).reshape(T, H, D)
+        return pa.flash_xl3_attention(
+            q + u, k, v, q + v_b, p, scale, pad_mask=pad
+        )
+
+    with pltpu.force_tpu_interpret_mode():
+        got = via_xl3(q, k, v, pk)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want).reshape(got.shape),
+        rtol=2e-5, atol=2e-5,
+    )
+
+    w = _rand(23, B, T, H * D)
+    with pltpu.force_tpu_interpret_mode():
+        gf = jax.grad(
+            lambda *a: jnp.sum(via_xl3(*a) * w), argnums=(0, 1, 2, 3)
+        )(q, k, v, pk)
+    gd = jax.grad(
+        lambda q, k, v, pk: jnp.sum(
+            xl_attention(q, k, v, u, v_b, pk, table, scale, pad_mask=pad)
+            * w
+        ),
+        argnums=(0, 1, 2, 3),
+    )(q, k, v, pk)
+    for a, b, name in zip(gf, gd, "q k v pos_kernel".split()):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5,
+            err_msg=name,
+        )
+
+
 def test_flash_bf16_streams(T=48):
     """bf16 inputs stay bf16 through the kernel's MXU contractions (r5:
     under the mixed-precision policy the wrappers used to force-upcast to

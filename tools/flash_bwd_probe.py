@@ -121,6 +121,35 @@ def dropout_probe():
         "platform": jax.devices()[0].platform,
     }), flush=True)
 
+    # xl3 (projected-table): same checks on its in-kernel dropout path
+    qv3 = mk(10, B, H, T, D)
+    p3 = mk(11, H, T, D) / np.sqrt(D)
+    op3 = jax.jit(
+        lambda seed, v_, p_: pa._xl3_op(qc, k, v_, qv3, p3, pad, seed,
+                                        scale, p_, 0),
+        static_argnums=(2,),
+    )
+    a3 = np.asarray(op3(s13, v, P))
+    b3 = np.asarray(op3(s13, v, P))
+    c3 = np.asarray(op3(jnp.asarray([14], jnp.int32), v, P))
+    loss3 = jax.jit(
+        lambda v_, seed, p_: jnp.sum(
+            pa._xl3_op(qc, k, v_, qv3, p3, pad, seed, scale, p_, 0) * w),
+        static_argnums=(2,),
+    )
+    gv3 = jax.jit(jax.grad(loss3, argnums=0), static_argnums=(2,))(
+        v, s13, P)
+    lin3 = abs(
+        float(loss3(v, s13, P)) - float(jnp.vdot(gv3, v))
+    ) / (abs(float(loss3(v, s13, P))) + 1e-12)
+    print(json.dumps({
+        "probe": "dropout_xl3",
+        "deterministic": bool((a3 == b3).all()),
+        "seed_sensitive": bool((a3 != c3).any()),
+        "linear_identity_rel_err": round(lin3, 8),
+        "platform": jax.devices()[0].platform,
+    }), flush=True)
+
 
 def main(T=256):
     B, H, D, E = 4, 4, 48, 384
@@ -140,8 +169,18 @@ def main(T=256):
 
     g2 = mk(8, B, H, T, E)  # deinterleaved single stream (xl2)
     tab2 = pa._deinterleave_pairs(tab)
+    qv3 = mk(9, B, H, T, D)  # q + v_bias stream (xl3)
+    p3 = mk(10, H, T, D) / np.sqrt(D)  # projected per-head table (xl3)
     seed0 = jnp.zeros((1,), jnp.int32)
     cases = {
+        "xl3": (
+            lambda *a: jnp.sum(
+                pa._xl3_op(*a, pad, seed0, scale, 0.0, 0) * w),
+            lambda *a: jnp.sum(
+                pa._xl3_dense(*a, pad, seed0, scale=scale,
+                              d_pad=0)[0] * w),
+            (qc, k, v, qv3, p3),
+        ),
         "xl2": (
             lambda *a: jnp.sum(
                 pa._xl2_op(*a, pad, seed0, scale, 0.0, float(T)) * w),

@@ -1313,6 +1313,349 @@ def flash_xl2_attention(
 
 
 # --------------------------------------------------------------------------
+# XL v3: projected-table flavour — D-wide contraction, shear in VMEM (r5)
+#
+# The xl/xl2 flavours lift the position query into the sinusoid basis
+# (E = d_model = 384) so the XL shift becomes Givens rotations: that kills
+# the (B, H, T, T) HBM tensors but replaces them with (B, H, T, E) HBM
+# streams and an 8x algorithmic FLOP multiplier on the BD term (E vs
+# D = 48) — captured r5: xl2 full-step 116.8 samples/s vs the shift
+# path's 188.3 at B=64, 191 vs 160 GB/step (bench_seed, PERF_NOTES §2e).
+#
+# v3 removes the lift entirely.  It streams only qv = q + v_bias
+# (B, H, T, D — already needed) plus the PROJECTED position table
+# p = pos_proj(table) per head ((H, T, D): ~100 KB, grid-invariant), and
+# reproduces the shift's exact index map (ops/xl_attention.py docstring)
+# inside one whole-(T, T) VMEM tile:
+#
+#   X = qv @ p'^T                     one (T, T, D) MXU contraction
+#   S_past[i, j] = X[i,  (j - i - 1) % T]        } per-row lane rolls —
+#   S_fut [i, j] = X[i+1,(j - i - 2 + pad) % T]  } ONE pltpu.roll each
+#                                                  (shift, stride=1)
+#   pos = where(j <= i, S_past, where(j >= i+2, S_fut, 0))
+#
+# where p' is p left-padded by (T_padded - T) zero rows so the past
+# term's end-anchored index survives padding (the future term's
+# start-anchored index is re-based by the same constant inside the roll
+# shift).  No position stream, no rotation VPU work, no E-wide matmuls:
+# per layer the only HBM attention traffic is qc/k/v/qv/ctx (B, H, T, D).
+# The whole score matrix lives in VMEM, so forward does a plain (not
+# online) softmax and the backward is ONE kernel emitting all five
+# gradients; dp accumulates across the batch grid axis (b innermost).
+# Restricted to T_padded <= 512 by the (T, T) fp32 VMEM residency; longer
+# sequences fall back to xl2 (<= 1024) then xl.
+# --------------------------------------------------------------------------
+
+_XL3_MAX_T = 512
+
+
+def _xl3_padded_time(t: int) -> int:
+    """xl3 runs the whole (T, T) tile in VMEM: pad T to a lane multiple."""
+    return ((t + 127) // 128) * 128
+
+
+def _xl3_shears(X, tp, d_pad):
+    """(S_past, S_fut) from X = qv @ p'^T via per-row lane rolls.
+
+    pltpu.roll(x, s, 1, stride=1, stride_axis=0) right-rolls row i by
+    (s + i) mod lanes (probed: matches np.roll(row_i, s + i)); the past
+    term needs amount (i + 1), the future term (i + 2 - d_pad) mod tp on
+    the row-shifted matrix."""
+    past = pltpu.roll(X, 1, 1, stride=1, stride_axis=0)
+    x2 = jnp.concatenate([X[1:], jnp.zeros_like(X[:1])], axis=0)
+    fut = pltpu.roll(x2, (2 - d_pad) % tp, 1, stride=1, stride_axis=0)
+    return past, fut
+
+
+def _xl3_unshears(d_past, d_fut, tp, d_pad):
+    """Transpose of `_xl3_shears`: inverse per-row rolls, then the row
+    shift's adjoint (row i of S_fut consumed X's row i+1)."""
+    dx = pltpu.roll(d_past, (tp - 1) % tp, 1, stride=tp - 1, stride_axis=0)
+    dx2 = pltpu.roll(
+        d_fut, (tp - (2 - d_pad) % tp) % tp, 1, stride=tp - 1, stride_axis=0
+    )
+    return dx + jnp.concatenate(
+        [jnp.zeros_like(dx2[:1]), dx2[:-1]], axis=0
+    )
+
+
+def _xl3_pos(qv, p, tp, d_pad):
+    """The full (tp, tp) fp32 position-score tile + the iota selects."""
+    x = _dot_t(qv, p)
+    past, fut = _xl3_shears(x, tp, d_pad)
+    i = jax.lax.broadcasted_iota(jnp.int32, (tp, tp), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (tp, tp), 1)
+    sel_a = j <= i
+    sel_b = j >= i + 2
+    pos = jnp.where(sel_a, past, jnp.where(sel_b, fut, 0.0))
+    return pos, sel_a, sel_b, j
+
+
+def _xl3_logits(s, pos, pad_row, j, scale, tp, d_pad):
+    """Two-tier masking: user-padded keys get MASK_NEG (like the dense
+    path), wrapper-added TAIL keys get 2*MASK_NEG so a fully-padded row's
+    uniform softmax fallback spans exactly the semantic key set the
+    unpadded dense reference sees (exp(2M - M) underflows to 0) — one-tier
+    masking made all-dead rows uniform over tp instead of T."""
+    logits = (s + pos) * scale
+    dead = (pad_row[None, :] > 0.5) | (j >= tp)
+    logits = jnp.where(dead, MASK_NEG, logits)
+    return jnp.where(j >= tp - d_pad, 2.0 * MASK_NEG, logits), dead
+
+
+def _xl3_kernel(
+    qc_ref, k_ref, v_ref, qv_ref, p_ref, pad_ref, seed_ref,
+    out_ref, lse_ref, *, scale, tp, d_pad, t_kv, dropout_p,
+):
+    pos, _, _, j = _xl3_pos(qv_ref[0, 0], p_ref[0], tp, d_pad)
+    s = _dot_t(qc_ref[0, 0], k_ref[0, 0])
+    logits, _ = _xl3_logits(s, pos, pad_ref[0, 0], j, scale, tp, d_pad)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits - m)
+    l = jnp.sum(e, axis=-1, keepdims=True)
+    attn = e / jnp.maximum(l, 1e-30)
+    if dropout_p > 0.0:
+        tile_id = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+        mask = _tile_dropout_mask(seed_ref, tile_id, (tp, tp), dropout_p)
+        attn = attn * (mask * (1.0 / (1.0 - dropout_p)))
+    out_ref[0, 0] = _dot(_mx(attn, v_ref), v_ref[0, 0]).astype(
+        out_ref.dtype)
+    lse_ref[0, 0] = (m + jnp.log(jnp.maximum(l, 1e-30))).astype(
+        lse_ref.dtype)
+
+
+def _xl3_bwd_kernel(
+    qc_ref, k_ref, v_ref, qv_ref, p_ref, pad_ref,
+    lse_ref, delta_ref, g_ref, seed_ref,
+    dqc_ref, dk_ref, dv_ref, dqv_ref, dp_ref, dp_scr,
+    *, scale, tp, d_pad, t_kv, dropout_p,
+):
+    # grid (H, B): b innermost so the per-head dp block is revisited
+    # consecutively across the batch sweep
+    ib, nb = pl.program_id(1), pl.num_programs(1)
+
+    @pl.when(ib == 0)
+    def _init():
+        dp_scr[:] = jnp.zeros_like(dp_scr)
+
+    qv, p = qv_ref[0, 0], p_ref[0]
+    pos, sel_a, sel_b, j = _xl3_pos(qv, p, tp, d_pad)
+    s = _dot_t(qc_ref[0, 0], k_ref[0, 0])
+    logits, dead = _xl3_logits(s, pos, pad_ref[0, 0], j, scale, tp, d_pad)
+    mask = None
+    if dropout_p > 0.0:
+        tile_id = ib * pl.num_programs(0) + pl.program_id(0)
+        mask = _tile_dropout_mask(seed_ref, tile_id, (tp, tp), dropout_p)
+    # inline _p_ds on the pre-masked two-tier logits
+    keep = 1.0 - dropout_p
+    p_sm = jnp.exp(logits - lse_ref[0, 0])
+    dp_w = _dot_t(g_ref[0, 0], v_ref[0, 0])
+    if mask is not None:
+        dp_w = dp_w * (mask * (1.0 / keep))
+    ds = p_sm * (dp_w - delta_ref[0, 0]) * scale
+    ds = jnp.where(dead, 0.0, ds)
+    p_v = p_sm if mask is None else p_sm * (mask * (1.0 / keep))
+    dv_ref[0, 0] = _dot_0(_mx(p_v, g_ref), g_ref[0, 0]).astype(
+        dv_ref.dtype)
+    dqc_ref[0, 0] = _dot(_mx(ds, k_ref), k_ref[0, 0]).astype(dqc_ref.dtype)
+    dk_ref[0, 0] = _dot_0(_mx(ds, qc_ref), qc_ref[0, 0]).astype(
+        dk_ref.dtype)
+    dx = _xl3_unshears(
+        jnp.where(sel_a, ds, 0.0), jnp.where(sel_b, ds, 0.0), tp, d_pad
+    )
+    dqv_ref[0, 0] = _dot(_mx(dx, p), p).astype(dqv_ref.dtype)
+    dp_scr[:] += _dot_0(_mx(dx, qv), qv)
+
+    @pl.when(ib == nb - 1)
+    def _emit():
+        dp_ref[0] = dp_scr[:].astype(dp_ref.dtype)
+
+
+def _xl3_pallas(qc, k, v, qv, p, pad, seed, *, scale, dropout_p, d_pad):
+    B, H, T, D = qc.shape
+    bh_spec = pl.BlockSpec((1, 1, T, D), lambda b, h: (b, h, 0, 0))
+    kernel = functools.partial(
+        _xl3_kernel, scale=float(scale), tp=T, d_pad=int(d_pad), t_kv=T,
+        dropout_p=float(dropout_p),
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, T, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, T, 1), jnp.float32),
+        ],
+        grid=(B, H),
+        in_specs=[
+            bh_spec, bh_spec, bh_spec, bh_spec,
+            pl.BlockSpec((1, T, D), lambda b, h: (h, 0, 0)),
+            pl.BlockSpec((1, 1, T), lambda b, h: (b, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            bh_spec,
+            pl.BlockSpec((1, 1, T, 1), lambda b, h: (b, h, 0, 0)),
+        ],
+    )(qc, k, v, qv, p, pad.reshape(B, 1, T), seed)
+
+
+def _xl3_dense(qc, k, v, qv, p, pad, seed, *, scale, dropout_p=0.0,
+               d_pad=0):
+    """Dense oracle of the padded-table parameterisation (non-TPU
+    fallback): same index map as the kernels, built with gathers."""
+    B, H, T, D = qc.shape
+    f32 = jnp.float32
+    x = jnp.einsum("bhid,hcd->bhic", qv, p, preferred_element_type=f32)
+    x2 = jnp.concatenate([x[:, :, 1:], jnp.zeros_like(x[:, :, :1])],
+                         axis=2)
+    i = jnp.arange(T)[:, None]
+    j = jnp.arange(T)[None, :]
+    c_past = jnp.broadcast_to((j - i - 1) % T, (T, T))[None, None]
+    c_fut = jnp.broadcast_to((j - i - 2 + d_pad) % T, (T, T))[None, None]
+    s_past = jnp.take_along_axis(
+        x, jnp.broadcast_to(c_past, x.shape), axis=-1
+    )
+    s_fut = jnp.take_along_axis(
+        x2, jnp.broadcast_to(c_fut, x2.shape), axis=-1
+    )
+    pos = jnp.where(j <= i, s_past, jnp.where(j >= i + 2, s_fut, 0.0))
+    content = jnp.einsum("bhqd,bhkd->bhqk", qc, k,
+                         preferred_element_type=f32)
+    logits = (content + pos) * scale
+    logits = jnp.where(pad[:, None, None, :] > 0.5, MASK_NEG, logits)
+    # two-tier tail masking (see _xl3_logits): wrapper-added tail keys
+    # must vanish even from a fully-padded row's uniform fallback
+    logits = jnp.where(j[None, None] >= T - d_pad, 2.0 * MASK_NEG, logits)
+    attn = jax.nn.softmax(logits, axis=-1)
+    lse = jax.scipy.special.logsumexp(logits, axis=-1)[..., None]
+    if dropout_p > 0.0:
+        attn = _dense_dropout(attn, seed, dropout_p)
+    return jnp.einsum("bhqk,bhkd->bhqd", attn.astype(v.dtype), v,
+                      preferred_element_type=f32), lse
+
+
+def _xl3_bwd_pallas(qc, k, v, qv, p, pad, lse, delta, g, seed,
+                    *, scale, dropout_p, d_pad):
+    B, H, T, D = qc.shape
+    bh_spec = pl.BlockSpec((1, 1, T, D), lambda h, b: (b, h, 0, 0))
+    row_spec = pl.BlockSpec((1, 1, T, 1), lambda h, b: (b, h, 0, 0))
+    p_spec = pl.BlockSpec((1, T, D), lambda h, b: (h, 0, 0))
+    kernel = functools.partial(
+        _xl3_bwd_kernel, scale=float(scale), tp=T, d_pad=int(d_pad),
+        t_kv=T, dropout_p=float(dropout_p),
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, T, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, T, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, T, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, T, D), jnp.float32),
+            jax.ShapeDtypeStruct((H, T, D), jnp.float32),
+        ],
+        grid=(H, B),
+        in_specs=[
+            bh_spec, bh_spec, bh_spec, bh_spec, p_spec,
+            pl.BlockSpec((1, 1, T), lambda h, b: (b, 0, 0)),
+            row_spec, row_spec, bh_spec,
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[bh_spec, bh_spec, bh_spec, bh_spec, p_spec],
+        scratch_shapes=[pltpu.VMEM((T, D), jnp.float32)],
+    )(qc, k, v, qv, p, pad.reshape(B, 1, T), lse, delta, g, seed)
+
+
+def _xl3_bwd_dense(qc, k, v, qv, p, pad, lse, delta, g, seed,
+                   *, scale, dropout_p=0.0, d_pad=0):
+    _, vjp = jax.vjp(
+        lambda *a: _xl3_dense(
+            *a, pad, seed, scale=scale, dropout_p=dropout_p, d_pad=d_pad
+        )[0],
+        qc, k, v, qv, p,
+    )
+    return tuple(x.astype(jnp.float32) for x in vjp(g.astype(jnp.float32)))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def _xl3_op(qc, k, v, qv, p, pad, seed, scale, dropout_p, d_pad):
+    return _dispatch(
+        functools.partial(_xl3_pallas, d_pad=d_pad),
+        functools.partial(_xl3_dense, d_pad=d_pad),
+        (qc, k, v, qv, p, pad, seed), scale, dropout_p,
+    )[0]
+
+
+def _xl3_fwd(qc, k, v, qv, p, pad, seed, scale, dropout_p, d_pad):
+    out, lse = _dispatch(
+        functools.partial(_xl3_pallas, d_pad=d_pad),
+        functools.partial(_xl3_dense, d_pad=d_pad),
+        (qc, k, v, qv, p, pad, seed), scale, dropout_p,
+    )
+    return out, (qc, k, v, qv, p, pad, seed, out, lse)
+
+
+def _xl3_bwd(scale, dropout_p, d_pad, res, g):
+    qc, k, v, qv, p, pad, seed, out, lse = res
+    delta = jnp.sum(g.astype(jnp.float32) * out, axis=-1, keepdims=True)
+    g = g.astype(v.dtype)
+    grads = _dispatch(
+        functools.partial(_xl3_bwd_pallas, d_pad=d_pad),
+        functools.partial(_xl3_bwd_dense, d_pad=d_pad),
+        (qc, k, v, qv, p, pad, lse, delta, g, seed), scale, dropout_p,
+    )
+    grads = tuple(
+        gr.astype(pr.dtype) for gr, pr in zip(grads, (qc, k, v, qv, p))
+    )
+    return (*grads, jnp.zeros_like(pad), _seed_cotangent(seed))
+
+
+_xl3_op.defvjp(_xl3_fwd, _xl3_bwd)
+
+
+def flash_xl3_attention(
+    qc: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    qv: jnp.ndarray,
+    p: jnp.ndarray,
+    scale: float,
+    pad_mask: Optional[jnp.ndarray] = None,
+    dropout_p: float = 0.0,
+    dropout_seed: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Projected-table XL flash attention (feature-last API).
+
+    qc = q + u_bias, qv = q + v_bias: (B, T, H, D); p = pos_proj(table)
+    reshaped (T, H, D) — the per-head projected position table (the D-wide
+    contraction replaces xl/xl2's E-wide sinusoid lift; see the section
+    comment).  The wrapper pads T to a lane multiple, LEFT-pads p's time
+    axis (the shift's past index is end-anchored), and hands the future
+    term's re-base constant to the kernels."""
+    B, T, H, D = qc.shape
+    cd = jnp.bfloat16 if qc.dtype == jnp.bfloat16 else jnp.float32
+    hm = lambda x: jnp.transpose(x, (0, 2, 1, 3)).astype(cd)
+    pad = (
+        pad_mask.astype(jnp.float32)
+        if pad_mask is not None
+        else jnp.zeros((B, T), jnp.float32)
+    )
+    tp = _xl3_padded_time(T)
+    d_pad = tp - T
+    ph = jnp.transpose(p, (1, 0, 2)).astype(cd)  # (H, T, D)
+    if d_pad:
+        ext = lambda x: jnp.pad(x, ((0, 0), (0, d_pad), (0, 0), (0, 0)))
+        qc, k, v, qv = map(ext, (qc, k, v, qv))
+        ph = jnp.pad(ph, ((0, 0), (d_pad, 0), (0, 0)))
+        pad = jnp.pad(pad, ((0, 0), (0, d_pad)), constant_values=1.0)
+    seed = _zero_seed() if dropout_seed is None else dropout_seed
+    ctx = _xl3_op(
+        hm(qc), hm(k), hm(v), hm(qv), ph, pad, seed, float(scale),
+        float(dropout_p), int(d_pad),
+    )
+    ctx = jnp.transpose(ctx, (0, 2, 1, 3))[:, :T]
+    return ctx.reshape(B, T, H * D).astype(qc.dtype)
+
+
+# --------------------------------------------------------------------------
 # espnet "latest" rel-pos flavour (single rotated stream)
 # --------------------------------------------------------------------------
 

@@ -197,8 +197,11 @@ def xl_attention(
     if implementation == "flash":
         from viet_tts_tpu.ops.pallas_attention import (
             _XL2_MAX_T,
+            _XL3_MAX_T,
             _padded_time,
+            _xl3_padded_time,
             flash_xl2_attention,
+            flash_xl3_attention,
             flash_xl_attention,
         )
 
@@ -207,6 +210,16 @@ def xl_attention(
             seed = jax.random.randint(
                 dropout_rng, (1,), 0, jnp.iinfo(jnp.int32).max,
                 dtype=jnp.int32,
+            )
+        if _xl3_padded_time(q.shape[1]) <= _XL3_MAX_T:
+            # projected-table kernel: D-wide contraction, no position
+            # stream at all (preferred whenever the whole (T, T) score
+            # matrix fits VMEM)
+            B, T, H, D = q.shape
+            p = (table @ pos_kernel).reshape(T, H, D)
+            return flash_xl3_attention(
+                qc, k, v, q + v_bias, p, scale, pad_mask=pad_mask,
+                dropout_p=dropout_p, dropout_seed=seed,
             )
         if _padded_time(q.shape[1]) <= _XL2_MAX_T:
             # single-stream kernel: rotations in VMEM, one (B,T,H,E)
