@@ -1354,25 +1354,55 @@ def _xl3_padded_time(t: int) -> int:
     return ((t + 127) // 128) * 128
 
 
-def _xl3_shears(X, tp, d_pad):
-    """(S_past, S_fut) from X = qv @ p'^T via per-row lane rolls.
+def _roll_lanes(x, sh, tp):
+    """Cyclic right-roll along the lane axis by a STATIC amount."""
+    if sh % _LANES == 0:
+        # pure vreg permute: lane-aligned static slices + concat
+        return jnp.concatenate([x[:, tp - sh:], x[:, : tp - sh]], axis=1)
+    return pltpu.roll(x, sh, 1)
 
-    pltpu.roll(x, s, 1, stride=1, stride_axis=0) right-rolls row i by
-    (s + i) mod lanes (probed: matches np.roll(row_i, s + i)); the past
-    term needs amount (i + 1), the future term (i + 2 - d_pad) mod tp on
-    the row-shifted matrix."""
-    past = pltpu.roll(X, 1, 1, stride=1, stride_axis=0)
+
+def _shear_rows(x, amounts, tp):
+    """Right-roll row i of ``x`` (tp, tp) by ``amounts[i]`` (int32
+    (tp, 1), values in [0, tp)) — log-step decomposition: one static
+    cyclic roll + per-row bit select per power of two.  Mosaic's strided
+    ``tpu.dynamic_rotate`` caps the per-vreg shift span at the vreg width
+    (probed r5: 'max shift in a vreg 129 > 128' at tp=256), so the
+    one-call strided roll cannot express a full shear."""
+    sh = 1
+    while sh < tp:
+        x = jnp.where((amounts & sh) != 0, _roll_lanes(x, sh, tp), x)
+        sh *= 2
+    return x
+
+
+def _wrap_mod(a, tp):
+    """a mod tp for 0 <= a < 2*tp without integer division."""
+    return jnp.where(a >= tp, a - tp, a)
+
+
+def _xl3_shears(X, tp, d_pad):
+    """(S_past, S_fut) from X = qv @ p'^T via per-row lane shears.
+
+    The past term right-rolls row i by (i + 1); the future term by
+    (i + 2 - d_pad) mod tp on the row-shifted matrix."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (tp, 1), 0)
+    past = _shear_rows(X, _wrap_mod(i + 1, tp), tp)
     x2 = jnp.concatenate([X[1:], jnp.zeros_like(X[:1])], axis=0)
-    fut = pltpu.roll(x2, (2 - d_pad) % tp, 1, stride=1, stride_axis=0)
+    s0f = (2 - d_pad) % tp
+    fut = _shear_rows(x2, _wrap_mod(i + s0f, tp), tp)
     return past, fut
 
 
 def _xl3_unshears(d_past, d_fut, tp, d_pad):
-    """Transpose of `_xl3_shears`: inverse per-row rolls, then the row
-    shift's adjoint (row i of S_fut consumed X's row i+1)."""
-    dx = pltpu.roll(d_past, (tp - 1) % tp, 1, stride=tp - 1, stride_axis=0)
-    dx2 = pltpu.roll(
-        d_fut, (tp - (2 - d_pad) % tp) % tp, 1, stride=tp - 1, stride_axis=0
+    """Transpose of `_xl3_shears`: inverse per-row rolls (amount
+    tp - a_i mod tp), then the row shift's adjoint (row i of S_fut
+    consumed X's row i+1)."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (tp, 1), 0)
+    dx = _shear_rows(d_past, _wrap_mod(2 * tp - 1 - i - tp, tp), tp)
+    s0f = (2 - d_pad) % tp
+    dx2 = _shear_rows(
+        d_fut, _wrap_mod(_wrap_mod(2 * tp - s0f - i, tp), tp), tp
     )
     return dx + jnp.concatenate(
         [jnp.zeros_like(dx2[:1]), dx2[:-1]], axis=0
