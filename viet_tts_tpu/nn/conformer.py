@@ -125,8 +125,11 @@ class RelativeMultiHeadAttention(nn.Module):
             if impl == "flash":
                 from viet_tts_tpu.ops.pallas_attention import (
                     _XL2_MAX_T,
+                    _XL3_MAX_T,
                     _padded_time,
+                    _xl3_padded_time,
                     flash_xl2_attention,
+                    flash_xl3_attention,
                     flash_xl_attention,
                 )
                 from viet_tts_tpu.ops.xl_attention import (
@@ -140,7 +143,16 @@ class RelativeMultiHeadAttention(nn.Module):
                         self.make_rng("dropout"), (1,), 0,
                         jnp.iinfo(jnp.int32).max, dtype=jnp.int32,
                     )
-                if _padded_time(T) <= _XL2_MAX_T:
+                if _xl3_padded_time(T) <= _XL3_MAX_T:
+                    # projected-table kernel: D-wide contraction, no
+                    # position stream at all (pallas_attention.py §xl3)
+                    p3 = (table @ pos_kernel).reshape(T, H, D)
+                    ctx = flash_xl3_attention(
+                        q + u_bias, k, v, q + v_bias, p3, scale,
+                        pad_mask=pad_mask, dropout_p=drop_p,
+                        dropout_seed=seed,
+                    )
+                elif _padded_time(T) <= _XL2_MAX_T:
                     # single-stream kernel: the rotated (B,T,H,E) copies
                     # never reach HBM (ops/pallas_attention.py xl2 note)
                     g = xl_pos_query_stream(q + v_bias, pos_kernel)
