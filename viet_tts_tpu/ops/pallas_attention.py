@@ -1162,13 +1162,21 @@ def _xl2_bwd_kv_kernel(
         dtab_ref[:] = dtab_scr[:].astype(dtab_ref.dtype)
 
 
+def _xl2_block_k(T: int) -> int:
+    """k-side tile for the whole-T-query xl2 kernels.  At T=1024 the
+    bk=256 forward overflows the 16 MB scoped-VMEM budget by 200 KB
+    (captured r5: t1008 compile OOM); bk=128 shaves the score/table tiles
+    back under it.  Shorter T keeps the default tile."""
+    return 128 if T > 512 else _block_size(T)
+
+
 def _xl2_pallas(qc, k, v, g2, table, pad, seed, *, scale, dropout_p,
                 t_sem):
     T = qc.shape[2]
     kernel = functools.partial(_xl2_kernel, t_sem=float(t_sem))
     return _call_flash(
         kernel, [qc, g2], [k], v, [table], pad, seed, scale, dropout_p,
-        bq=T, bk=_block_size(T),
+        bq=T, bk=_xl2_block_k(T),
     )
 
 
@@ -1199,7 +1207,7 @@ def _xl2_bwd_pallas(qc, k, v, g2, table, pad, lse, delta, g, seed,
                     *, scale, dropout_p, t_sem):
     B, H, T, D = qc.shape
     E = table.shape[-1]
-    bq, bk = T, _block_size(T)
+    bq, bk = T, _xl2_block_k(T)
     pad3 = pad.reshape(B, 1, T)
     kq = functools.partial(_xl2_bwd_q_kernel, t_sem=float(t_sem))
     kkv = functools.partial(_xl2_bwd_kv_kernel, t_sem=float(t_sem))
